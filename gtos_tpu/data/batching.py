@@ -1,0 +1,242 @@
+"""Static-shape bucketed batching with the relation-bank dedup.
+
+Re-creates the reference's batch contract (generator/data.py `batchify` in
+jcyk/gtos — SURVEY.md §2.2 "Batching / data pipeline" and "Relation bank
+(dedup trick)") with two deliberate departures for TPU:
+
+  * batch-major [B, ...] layout instead of the reference's length-major
+    tensors (XLA prefers a leading batch dim for sharding);
+  * every array dimension is rounded up to a size bucket so XLA compiles a
+    small, fixed set of programs instead of one per shape (SURVEY.md §7
+    hard-part #1).
+
+The relation-bank dedup is preserved exactly: the set of *unique* shortest
+path label sequences in the batch is collected once into `rel_bank` [P, L]
+(+ `rel_length` [P]), and the pairwise tensor `rel_index` [B, N, N] stores
+indices into the bank. The GRU encodes each unique path once; results are
+gathered into the O(N^2) pair tensor on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gtos_tpu.data.vocab import CLS, END, STR, LexicalMap, Vocab
+from gtos_tpu.graph.paths import GLOBAL_LABEL
+
+
+@dataclasses.dataclass
+class Instance:
+    """One preprocessed example: graph side + target side, still as strings.
+
+    pair_paths[i][j] is the shortest-path label tuple between real nodes
+    (no global node yet — batchify adds it at position 0).
+    """
+
+    concepts: List[str]
+    pair_paths: List[List[Tuple[str, ...]]]
+    target: List[str]
+    meta: Optional[dict] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketSpec:
+    """Size ladders; each dim is padded up to the smallest bucket >= actual.
+
+    Defaults chosen for AMR-scale graphs (tens of nodes) with TPU-friendly
+    final sizes. The last entry is the hard cap: longer instances are
+    truncated (target) or must be filtered upstream (nodes).
+    """
+
+    nodes: Tuple[int, ...] = (16, 32, 64, 128)        # incl. global node
+    target: Tuple[int, ...] = (16, 32, 64, 128)       # incl. STR/END
+    bank: Tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096)
+    path_len: Tuple[int, ...] = (2, 4, 8)
+    chars: Tuple[int, ...] = (8, 16, 24)
+    max_oov: Tuple[int, ...] = (0, 16, 64)
+
+    @staticmethod
+    def fit(ladder: Tuple[int, ...], size: int) -> int:
+        for b in ladder:
+            if size <= b:
+                return b
+        return ladder[-1]
+
+
+@dataclasses.dataclass
+class GraphBatch:
+    """Device-ready arrays (numpy; converted to jax at the jit boundary).
+
+    Reference counterpart: the dict of padded LongTensors produced by
+    generator/data.py `batchify` (SURVEY.md §2.2). Node position 0 in every
+    instance is the global CLS node.
+    """
+
+    concept: np.ndarray       # [B, N] int32 concept ids (0 = PAD)
+    concept_char: np.ndarray  # [B, N, C] int32 char ids
+    concept_mask: np.ndarray  # [B, N] bool, True at real nodes (incl. CLS)
+    rel_index: np.ndarray     # [B, N, N] int32 -> rel_bank row per (i, j)
+    rel_bank: np.ndarray      # [P, L] int32 relation-label ids (row 0 = pad)
+    rel_length: np.ndarray    # [P] int32 path lengths (row 0 -> 0)
+    token_in: np.ndarray      # [B, T] int32, STR-prefixed (token vocab ids)
+    token_out: np.ndarray     # [B, T] int32, END-suffixed, EXTENDED ids
+    token_mask: np.ndarray    # [B, T] bool, True at real target positions
+    cp_seq: np.ndarray        # [B, N] int32 extended id copying node n yields
+    copy_mask: np.ndarray     # [B, N] bool, True where copying is allowed
+    oov_lists: List[List[str]] = dataclasses.field(default_factory=list)
+    meta: List[Optional[dict]] = dataclasses.field(default_factory=list)
+
+    @property
+    def batch_size(self) -> int:
+        return self.concept.shape[0]
+
+    @property
+    def num_oov(self) -> int:
+        return max((len(o) for o in self.oov_lists), default=0)
+
+    def arrays(self) -> Dict[str, np.ndarray]:
+        """The jit-traceable payload (drops host-only fields)."""
+        return {
+            f.name: getattr(self, f.name)
+            for f in dataclasses.fields(self)
+            if f.name not in ("oov_lists", "meta")
+        }
+
+
+def _encode_chars(word: str, char_vocab: Vocab, width: int) -> List[int]:
+    ids = [char_vocab.encode(c) for c in word[:width]]
+    return ids + [char_vocab.pad_id] * (width - len(ids))
+
+
+def batchify(
+    instances: Sequence[Instance],
+    token_vocab: Vocab,
+    concept_vocab: Vocab,
+    relation_vocab: Vocab,
+    char_vocab: Vocab,
+    lexical_map: LexicalMap,
+    spec: BucketSpec = BucketSpec(),
+    batch_size_bucket: Optional[int] = None,
+    for_train: bool = True,
+) -> GraphBatch:
+    """Assemble one static-shape GraphBatch from preprocessed instances."""
+    B = batch_size_bucket or len(instances)
+    assert B >= len(instances)
+
+    N = BucketSpec.fit(spec.nodes, max(len(i.concepts) + 1 for i in instances))
+    T = BucketSpec.fit(spec.target, max(len(i.target) + 1 for i in instances))
+    C = BucketSpec.fit(spec.chars, max(
+        (len(c) for i in instances for c in i.concepts), default=1))
+    L_cap = spec.path_len[-1]
+
+    # ---- relation bank dedup (batch-global) ----
+    bank_index: Dict[Tuple[str, ...], int] = {(): 0}  # row 0 = pad path
+    bank_paths: List[Tuple[str, ...]] = [()]
+
+    def bank_id(path: Tuple[str, ...]) -> int:
+        path = path[:L_cap]
+        idx = bank_index.get(path)
+        if idx is None:
+            idx = len(bank_paths)
+            bank_index[path] = idx
+            bank_paths.append(path)
+        return idx
+
+    global_path = (GLOBAL_LABEL,)
+
+    concept = np.zeros((B, N), dtype=np.int32)
+    concept_char = np.zeros((B, N, C), dtype=np.int32)
+    concept_mask = np.zeros((B, N), dtype=bool)
+    rel_index = np.zeros((B, N, N), dtype=np.int32)
+    token_in = np.zeros((B, T), dtype=np.int32)
+    token_out = np.zeros((B, T), dtype=np.int32)
+    token_mask = np.zeros((B, T), dtype=bool)
+    cp_seq = np.zeros((B, N), dtype=np.int32)
+    copy_mask = np.zeros((B, N), dtype=bool)
+    oov_lists: List[List[str]] = []
+    metas: List[Optional[dict]] = []
+
+    V = len(token_vocab)
+
+    for b, inst in enumerate(instances):
+        n_real = len(inst.concepts)
+        nodes_here = n_real + 1  # + global CLS node at position 0
+        assert nodes_here <= N, f"instance with {n_real} nodes exceeds cap {N}"
+
+        concept[b, 0] = concept_vocab.cls_id
+        concept_char[b, 0, :] = char_vocab.pad_id
+        concept_mask[b, :nodes_here] = True
+        for i, c in enumerate(inst.concepts):
+            concept[b, i + 1] = concept_vocab.encode(c)
+            concept_char[b, i + 1] = _encode_chars(c, char_vocab, C)
+
+        # relations: global node row/col, then real pairs via the bank
+        gid = bank_id(global_path)
+        rel_index[b, 0, :nodes_here] = gid
+        rel_index[b, :nodes_here, 0] = gid
+        for i in range(n_real):
+            row = inst.pair_paths[i]
+            for j in range(n_real):
+                rel_index[b, i + 1, j + 1] = bank_id(row[j])
+
+        # copy targets -> extended vocab ids
+        oov: List[str] = []
+        oov_pos: Dict[str, int] = {}
+        cp_seq[b, 0] = token_vocab.unk_id
+        for i, c in enumerate(inst.concepts):
+            surf = lexical_map.copy_target(c)
+            tid = token_vocab.stoi.get(surf)
+            if tid is None:
+                if surf not in oov_pos:
+                    oov_pos[surf] = len(oov)
+                    oov.append(surf)
+                tid = V + oov_pos[surf]
+            cp_seq[b, i + 1] = tid
+            copy_mask[b, i + 1] = True
+
+        # target side: token_in = [STR, w1..wk], token_out = [w1..wk, END]
+        tgt = inst.target[: T - 1]
+        token_in[b, 0] = token_vocab.str_id
+        for t, w in enumerate(tgt):
+            token_in[b, t + 1] = token_vocab.encode(w)
+            wid = token_vocab.stoi.get(w)
+            if wid is None and w in oov_pos:
+                wid = V + oov_pos[w]  # copyable OOV -> extended id
+            token_out[b, t] = wid if wid is not None else token_vocab.unk_id
+        token_out[b, len(tgt)] = token_vocab.end_id
+        token_mask[b, : len(tgt) + 1] = True
+
+        oov_lists.append(oov)
+        metas.append(inst.meta)
+
+    # ---- materialize the bank ----
+    P = BucketSpec.fit(spec.bank, len(bank_paths))
+    assert len(bank_paths) <= P, (
+        f"relation bank overflow: {len(bank_paths)} unique paths > cap {P}; "
+        "use smaller batches or a larger bank bucket")
+    L = BucketSpec.fit(spec.path_len, max((len(p) for p in bank_paths), default=1))
+    rel_bank = np.zeros((P, L), dtype=np.int32)
+    rel_length = np.zeros((P,), dtype=np.int32)
+    for p, path in enumerate(bank_paths):
+        rel_length[p] = len(path)
+        for k, lbl in enumerate(path):
+            rel_bank[p, k] = relation_vocab.encode(lbl)
+
+    return GraphBatch(
+        concept=concept,
+        concept_char=concept_char,
+        concept_mask=concept_mask,
+        rel_index=rel_index,
+        rel_bank=rel_bank,
+        rel_length=rel_length,
+        token_in=token_in,
+        token_out=token_out,
+        token_mask=token_mask,
+        cp_seq=cp_seq,
+        copy_mask=copy_mask,
+        oov_lists=oov_lists,
+        meta=metas,
+    )

@@ -1,0 +1,138 @@
+"""Host-side data pipeline: preprocessing, bucketing, token-based batching.
+
+Reference counterpart: generator/data.py `DataLoader` in jcyk/gtos
+(SURVEY.md §2.2 "Batching / data pipeline"): sort/bucket instances by size,
+token-count-based batch sizing, shuffle each epoch. TPU departure: batches
+are grouped so every batch pads to ONE bucket signature (N, T bucket pair),
+keeping the set of compiled XLA programs small.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Iterator, List, Optional, Sequence
+
+from gtos_tpu.data.batching import BucketSpec, GraphBatch, Instance, batchify
+from gtos_tpu.data.vocab import LexicalMap, Vocab
+from gtos_tpu.graph.ir import Graph
+from gtos_tpu.graph.paths import RelationPathConfig, relation_paths
+
+
+def preprocess(
+    graphs: Sequence[Graph],
+    targets: Sequence[List[str]],
+    path_cfg: RelationPathConfig = RelationPathConfig(),
+    max_nodes: Optional[int] = None,
+) -> List[Instance]:
+    """Graph + target -> Instance with precomputed shortest-path relations.
+
+    The all-pairs BFS runs here, on the host, once per instance (SURVEY.md
+    §3.1: path extraction happens in preprocessing, not at train time). Uses
+    the C++ native path extractor when available (gtos_tpu.native)."""
+    try:
+        from gtos_tpu.native import relation_paths_native as _paths
+    except ImportError:
+        _paths = None
+
+    out: List[Instance] = []
+    for g, tgt in zip(graphs, targets):
+        if max_nodes is not None and g.num_nodes + 1 > max_nodes:
+            continue
+        paths = _paths(g, path_cfg) if _paths is not None else relation_paths(g, path_cfg)
+        out.append(Instance(concepts=list(g.nodes), pair_paths=paths,
+                            target=list(tgt), meta=g.meta))
+    return out
+
+
+class DataLoader:
+    """Iterates GraphBatches with token-count batch sizing.
+
+    batch_size is measured in target tokens + nodes per batch (the
+    reference sizes batches in tokens — SURVEY.md §2.2); for_train shuffles
+    instance order and batch order each epoch.
+    """
+
+    def __init__(
+        self,
+        instances: Sequence[Instance],
+        token_vocab: Vocab,
+        concept_vocab: Vocab,
+        relation_vocab: Vocab,
+        char_vocab: Vocab,
+        lexical_map: LexicalMap,
+        batch_size_tokens: int = 4096,
+        max_batch_instances: Optional[int] = None,
+        spec: BucketSpec = BucketSpec(),
+        for_train: bool = True,
+        seed: int = 19940117,
+    ):
+        self.instances = list(instances)
+        self.vocabs = dict(
+            token=token_vocab, concept=concept_vocab,
+            relation=relation_vocab, char=char_vocab,
+        )
+        self.lexical_map = lexical_map
+        self.batch_size_tokens = batch_size_tokens
+        self.max_batch_instances = max_batch_instances
+        self.spec = spec
+        self.for_train = for_train
+        self.seed = seed
+        self.epoch = 0
+
+    def _cost(self, inst: Instance) -> int:
+        return max(len(inst.target) + 1, len(inst.concepts) + 1)
+
+    def _plan_batches(self) -> List[List[Instance]]:
+        rng = random.Random(self.seed * 1000003 + self.epoch)
+        insts = list(self.instances)
+        if self.for_train:
+            rng.shuffle(insts)
+        # Bucket by padded signature so each batch has one static shape.
+        insts.sort(key=lambda i: (
+            BucketSpec.fit(self.spec.nodes, len(i.concepts) + 1),
+            BucketSpec.fit(self.spec.target, len(i.target) + 1),
+        ))
+        batches: List[List[Instance]] = []
+        cur: List[Instance] = []
+        cur_cost = 0
+        cur_sig = None
+        for inst in insts:
+            sig = (BucketSpec.fit(self.spec.nodes, len(inst.concepts) + 1),
+                   BucketSpec.fit(self.spec.target, len(inst.target) + 1))
+            c = self._cost(inst)
+            over = (
+                cur and (
+                    sig != cur_sig
+                    or cur_cost + c > self.batch_size_tokens
+                    or (self.max_batch_instances and len(cur) >= self.max_batch_instances)
+                )
+            )
+            if over:
+                batches.append(cur)
+                cur, cur_cost = [], 0
+            cur.append(inst)
+            cur_cost += c
+            cur_sig = sig
+        if cur:
+            batches.append(cur)
+        if self.for_train:
+            rng.shuffle(batches)
+        return batches
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        self.epoch += 1
+        for group in self._plan_batches():
+            # Pad batch dim to a power of two for shape stability.
+            bsz = 1
+            while bsz < len(group):
+                bsz *= 2
+            yield batchify(
+                group,
+                self.vocabs["token"], self.vocabs["concept"],
+                self.vocabs["relation"], self.vocabs["char"],
+                self.lexical_map, spec=self.spec,
+                batch_size_bucket=bsz, for_train=self.for_train,
+            )
+
+    def __len__(self) -> int:
+        return len(self._plan_batches())

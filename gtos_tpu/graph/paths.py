@@ -1,0 +1,93 @@
+"""All-pairs shortest-path relation extraction.
+
+The heart of the gtos data contract (SURVEY.md §2.2 "AMR graph reader",
+§3.1): for every ordered node pair (i, j), the relation fed to the model is
+the sequence of edge labels along a shortest path from i to j in the graph
+made connected by direction-marked reverse arcs (label + '_r'). The i == j
+relation is a special self token; unreachable pairs get a special none token.
+Runs in preprocessing (host side), NOT inside jit — the batch tensors carry
+the result (§3.1: "the training data contract already contains per-pair
+path-label sequences").
+
+A C++ implementation of the same BFS lives in gtos_tpu/native (used when the
+shared library is built); this module is the always-available reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import List, Sequence, Tuple
+
+from gtos_tpu.graph.ir import Graph
+
+# Special relation pseudo-labels (become entries of the relation vocab).
+SELF_LABEL = "<self>"
+NONE_LABEL = "<none>"
+# Relation between the global (CLS-like) node and every real node.
+GLOBAL_LABEL = "<global>"
+REVERSE_SUFFIX = "_r"
+
+
+@dataclasses.dataclass(frozen=True)
+class RelationPathConfig:
+    max_path_len: int = 8     # labels beyond this are truncated (kept prefix)
+    reverse_suffix: str = REVERSE_SUFFIX
+
+
+def relation_paths(
+    graph: Graph, cfg: RelationPathConfig = RelationPathConfig()
+) -> List[List[Tuple[str, ...]]]:
+    """paths[i][j] = label sequence of a shortest path i -> j.
+
+    paths[i][i] = (SELF_LABEL,); unreachable pairs = (NONE_LABEL,).
+    Ties between equal-length paths are broken by BFS order (deterministic:
+    adjacency lists follow edge declaration order, forward arc before the
+    reverse arc of the same edge).
+    """
+    n = graph.num_nodes
+    adj = graph.adjacency(reverse_suffix=cfg.reverse_suffix)
+    out: List[List[Tuple[str, ...]]] = []
+    for src in range(n):
+        # BFS storing (parent, label) to reconstruct label sequences.
+        parent = [-1] * n
+        parent_label = [""] * n
+        seen = [False] * n
+        seen[src] = True
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for (v, lbl) in adj[u]:
+                if not seen[v]:
+                    seen[v] = True
+                    parent[v] = u
+                    parent_label[v] = lbl
+                    q.append(v)
+        row: List[Tuple[str, ...]] = []
+        for dst in range(n):
+            if dst == src:
+                row.append((SELF_LABEL,))
+            elif not seen[dst]:
+                row.append((NONE_LABEL,))
+            else:
+                labels: List[str] = []
+                v = dst
+                while v != src:
+                    labels.append(parent_label[v])
+                    v = parent[v]
+                labels.reverse()
+                row.append(tuple(labels[: cfg.max_path_len]))
+        out.append(row)
+    return out
+
+
+def collect_relation_labels(graphs: Sequence[Graph], cfg: RelationPathConfig = RelationPathConfig()):
+    """All labels a relation vocab must contain for these graphs: every edge
+    label, its reverse-marked twin, and the special tokens."""
+    labels = set()
+    for g in graphs:
+        for (_, lbl, _) in g.edges:
+            labels.add(lbl)
+            labels.add(lbl + cfg.reverse_suffix)
+    labels.update({SELF_LABEL, NONE_LABEL, GLOBAL_LABEL})
+    return sorted(labels)

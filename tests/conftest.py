@@ -1,0 +1,16 @@
+"""Test harness config: force an 8-virtual-device CPU backend.
+
+Multi-chip hardware is not available in CI (one real TPU chip behind a
+tunnel); per SURVEY.md §4, multi-device logic is validated on a virtual CPU
+mesh. Must run before jax initializes, hence env mutation at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,109 @@
+"""Vocab, LexicalMap, batchify (relation bank dedup), DataLoader."""
+
+import numpy as np
+
+from gtos_tpu.data import batchify, BucketSpec, DataLoader, Vocab
+from gtos_tpu.data.batching import Instance
+from gtos_tpu.data.dataloader import preprocess
+from gtos_tpu.data.extract import build_vocabs
+from gtos_tpu.data.synthetic import synthetic_amr_corpus
+from gtos_tpu.data.vocab import LexicalMap, concept_surface_forms
+from gtos_tpu.graph.paths import GLOBAL_LABEL, SELF_LABEL
+
+
+def _tiny_setup(n=8, seed=0):
+    graphs, targets = synthetic_amr_corpus(n, seed=seed)
+    vocabs = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    return graphs, targets, vocabs, instances
+
+
+def test_vocab_roundtrip(tmp_path):
+    v = Vocab(["apple", "banana"])
+    assert v.encode("apple") == v.stoi["apple"]
+    assert v.encode("nope") == v.unk_id
+    p = str(tmp_path / "v.json")
+    v.save(p)
+    v2 = Vocab.load(p)
+    assert v2.itos == v.itos and v2.pad_id == 0
+
+
+def test_surface_forms():
+    assert concept_surface_forms("want-01") == ["want", "want-01"]
+    assert concept_surface_forms("boy") == ["boy"]
+
+
+def test_lexical_map_build():
+    lm = LexicalMap.build([(["want-01", "boy"], ["the", "boy", "wants", "want"])])
+    assert lm.copy_target("boy") == "boy"
+    assert lm.copy_target("want-01") == "want"
+
+
+def test_batchify_shapes_and_bank():
+    graphs, targets, (tv, cv, rv, chv, lm), instances = _tiny_setup()
+    batch = batchify(instances[:4], tv, cv, rv, chv, lm, batch_size_bucket=4)
+    B, N = batch.concept.shape
+    assert B == 4
+    assert batch.rel_index.shape == (B, N, N)
+    P, L = batch.rel_bank.shape
+    assert batch.rel_length.shape == (P,)
+    # row 0 of the bank is the pad path
+    assert batch.rel_length[0] == 0
+    # self-relation: diagonal entries of real nodes map to a bank row whose
+    # first label is <self>
+    self_id = rv.encode(SELF_LABEL)
+    b0_real = batch.concept_mask[0].sum()
+    for i in range(1, b0_real):
+        row = batch.rel_index[0, i, i]
+        assert batch.rel_bank[row, 0] == self_id
+        assert batch.rel_length[row] == 1
+    # global node relations
+    gl = rv.encode(GLOBAL_LABEL)
+    row = batch.rel_index[0, 0, 1]
+    assert batch.rel_bank[row, 0] == gl
+    # dedup: every pair index points into the bank
+    used = np.unique(batch.rel_index)
+    assert used.max() < P
+
+
+def test_batchify_copy_extended_vocab():
+    graphs, targets, (tv, cv, rv, chv, lm), instances = _tiny_setup()
+    # restrict token vocab to force OOVs
+    small_tv = Vocab(["the", "a"])
+    batch = batchify(instances[:2], small_tv, cv, rv, chv, lm, batch_size_bucket=2)
+    V = len(small_tv)
+    # cp_seq entries for real concepts either in-vocab or extended
+    assert (batch.cp_seq[batch.copy_mask] >= 0).all()
+    assert batch.num_oov > 0
+    assert (batch.cp_seq[batch.copy_mask] < V + len(batch.oov_lists[0]) + len(batch.oov_lists[1])).all()
+    # targets that are copyable OOVs got extended ids
+    assert (batch.token_out.max() >= V) or batch.num_oov == 0
+
+
+def test_teacher_forcing_alignment():
+    graphs, targets, (tv, cv, rv, chv, lm), instances = _tiny_setup()
+    inst = instances[0]
+    batch = batchify([inst], tv, cv, rv, chv, lm, batch_size_bucket=1)
+    k = len(inst.target)
+    # token_in = [STR, w1..wk]; token_out = [w1..wk, END]
+    assert batch.token_in[0, 0] == tv.str_id
+    assert batch.token_in[0, 1] == tv.encode(inst.target[0])
+    assert batch.token_out[0, k] == tv.end_id
+    assert batch.token_mask[0, : k + 1].all()
+    assert not batch.token_mask[0, k + 1 :].any()
+
+
+def test_dataloader_buckets_and_determinism():
+    graphs, targets, (tv, cv, rv, chv, lm), instances = _tiny_setup(n=32)
+    dl = DataLoader(instances, tv, cv, rv, chv, lm,
+                    batch_size_tokens=256, for_train=True, seed=7)
+    shapes = set()
+    count = 0
+    for batch in dl:
+        count += batch.batch_size
+        shapes.add(batch.concept.shape + batch.token_in.shape)
+        # batch dim is a power of two
+        assert batch.batch_size & (batch.batch_size - 1) == 0
+    assert count >= len(instances)
+    # only a handful of distinct shapes (bucketing works)
+    assert len(shapes) <= 6
