@@ -1,0 +1,175 @@
+"""The top graph-to-sequence model: encoder + relation GRU + graph
+transformer + copy decoder.
+
+Reference counterpart: the Generator top model in jcyk/gtos (SURVEY.md §2.2
+"Top model", §3.4): forward(batch) -> loss for training; encode once +
+decode_step repeatedly for search. The copy mechanism mixes the generation
+softmax with the alignment layer's cross-attention distribution scattered
+onto an extended vocabulary:
+
+    P(w) = g * P_vocab(w) + (1 - g) * sum_i alpha_i * [cp_seq_i == w]
+
+realized with an XLA scatter-add (the TPU equivalent of the reference's
+scatter_add_ onto a vocab-size tensor). The same model class serves the
+translator (dependency NMT) path with use_copy=False.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gtos_tpu.models.decoder import Decoder
+from gtos_tpu.models.encoder import RelationEncoder, TokenEncoder
+from gtos_tpu.models.graph_transformer import GraphTransformer
+from gtos_tpu.ops.attention import bank_relation_scores
+from gtos_tpu.utils.config import ModelConfig
+
+EPS = 1e-9
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+class Generator(nn.Module):
+    cfg: ModelConfig
+    score_impl: callable = bank_relation_scores
+
+    def setup(self):
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        self.token_encoder = TokenEncoder(
+            cfg.concept_vocab, cfg.char_vocab, cfg.d_model, cfg.char_dim,
+            cfg.char_filters, cfg.char_widths, cfg.dropout, dtype=dt)
+        self.relation_encoder = RelationEncoder(
+            cfg.relation_vocab, cfg.rel_emb_dim, cfg.rel_hidden,
+            cfg.d_model, cfg.dropout, dtype=dt)
+        self.graph_transformer = GraphTransformer(
+            cfg.enc_layers, cfg.d_model, cfg.d_ff, cfg.heads, cfg.dropout,
+            dtype=dt, score_impl=self.score_impl)
+        self.decoder = Decoder(
+            cfg.token_vocab, cfg.dec_layers, cfg.d_model, cfg.d_ff,
+            cfg.heads, cfg.dropout, cfg.max_target_len, dtype=dt)
+        if not cfg.tie_embeddings:
+            self.out_proj = nn.Dense(cfg.token_vocab, dtype=dt)
+        if cfg.use_copy:
+            self.copy_gate = nn.Dense(1, dtype=dt)
+
+    # ---------------- encoding ----------------
+
+    def encode(self, concept, concept_char, concept_mask, rel_bank,
+               rel_length, rel_index, deterministic: bool = True):
+        """-> concept representations [B, N, D]."""
+        x = self.token_encoder(concept, concept_char, deterministic)
+        rel_vecs = self.relation_encoder(rel_bank, rel_length, deterministic)
+        return self.graph_transformer(
+            x, rel_vecs, rel_index, concept_mask, deterministic)
+
+    # ---------------- output distribution ----------------
+
+    def _logits(self, h):
+        if self.cfg.tie_embeddings:
+            return self.decoder.output_logits(h)
+        return self.out_proj(h)
+
+    def ext_log_probs(self, h, align_probs, cp_seq, copy_mask):
+        """Extended-vocabulary log P.
+
+        h: [..., D]; align_probs: [..., H, N] cross-attn probs;
+        cp_seq: [B, N] broadcastable to the leading dims of h;
+        copy_mask: [B, N] likewise. Returns [..., ext_vocab] f32 log-probs.
+        """
+        cfg = self.cfg
+        logits = self._logits(h).astype(jnp.float32)
+        p_vocab = jax.nn.softmax(logits, axis=-1)            # [..., V]
+        if not cfg.use_copy:
+            pad = cfg.ext_vocab - cfg.token_vocab
+            if pad:
+                p_vocab = jnp.pad(p_vocab, [(0, 0)] * (p_vocab.ndim - 1) + [(0, pad)],
+                                  constant_values=0.0)
+            return jnp.log(p_vocab + EPS)
+
+        # alpha: average attention heads, mask to copyable nodes, renormalize
+        alpha = jnp.mean(align_probs.astype(jnp.float32), axis=-2)  # [..., N]
+        cm = jnp.broadcast_to(
+            copy_mask.reshape(copy_mask.shape[0],
+                              *([1] * (alpha.ndim - 2)),
+                              copy_mask.shape[1]),
+            alpha.shape)
+        alpha = jnp.where(cm, alpha, 0.0)
+        alpha = alpha / (alpha.sum(-1, keepdims=True) + EPS)
+
+        g = jax.nn.sigmoid(self.copy_gate(h).astype(jnp.float32))   # [..., 1]
+
+        *lead, V = p_vocab.shape
+        ext = jnp.zeros((*lead, cfg.ext_vocab), dtype=jnp.float32)
+        # place generation mass
+        ext = ext.at[..., :V].set(g * p_vocab)
+        # scatter copy mass via cp_seq
+        B = cp_seq.shape[0]
+        N = cp_seq.shape[1]
+        cp = jnp.broadcast_to(
+            cp_seq.reshape(B, *([1] * (alpha.ndim - 2)), N), alpha.shape)
+        ext = _scatter_add_last(ext, cp, (1.0 - g) * alpha)
+        return jnp.log(ext + EPS)
+
+    # ---------------- training ----------------
+
+    def __call__(self, batch: Dict[str, jnp.ndarray],
+                 deterministic: bool = False):
+        """Teacher-forced loss. batch: arrays from GraphBatch.arrays()."""
+        cfg = self.cfg
+        mem = self.encode(
+            batch["concept"], batch["concept_char"], batch["concept_mask"],
+            batch["rel_bank"], batch["rel_length"], batch["rel_index"],
+            deterministic)
+        h, align = self.decoder(
+            batch["token_in"], mem, batch["concept_mask"], deterministic)
+        # align: [B, H, T, N] -> per-position [B, T, H, N]
+        align = jnp.transpose(align, (0, 2, 1, 3))
+        logp = self.ext_log_probs(h, align, batch["cp_seq"], batch["copy_mask"])
+
+        tgt = batch["token_out"]                                 # [B, T]
+        mask = batch["token_mask"].astype(jnp.float32)
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        n_tok = mask.sum() + EPS
+        loss = (nll * mask).sum() / n_tok
+        if cfg.label_smoothing > 0.0:
+            # uniform smoothing over the generation softmax
+            logits = self._logits(h).astype(jnp.float32)
+            lsm = jax.nn.log_softmax(logits, axis=-1)
+            smooth = -(lsm.mean(-1) * mask).sum() / n_tok
+            loss = (1.0 - cfg.label_smoothing) * loss + cfg.label_smoothing * smooth
+        acc = ((logp.argmax(-1) == tgt) * mask).sum() / n_tok
+        return loss, {"loss": loss, "acc": acc, "n_tok": mask.sum()}
+
+    # ---------------- incremental decoding ----------------
+
+    def init_cache(self, mem):
+        return self.decoder.init_cache(mem.shape[0], mem)
+
+    def decode_step(self, token_t, pos, caches, concept_mask, cp_seq,
+                    copy_mask):
+        """One decode step.
+
+        token_t: [B] previous tokens (token-vocab ids; copied OOVs must be
+        mapped to UNK by the caller before feeding back). Returns
+        (log_probs [B, ext_vocab] f32, new_caches)."""
+        h, new_caches, align = self.decoder.step(
+            token_t, pos, caches, concept_mask)
+        logp = self.ext_log_probs(h, align, cp_seq, copy_mask)
+        return logp, new_caches
+
+
+def _scatter_add_last(ext, idx, vals):
+    """ext[..., K].at[..., idx].add(vals) over the last axis.
+
+    idx, vals: [..., N] with idx into the last axis of ext."""
+    lead = ext.shape[:-1]
+    grids = jnp.meshgrid(*[jnp.arange(s) for s in lead], indexing="ij")
+    index_arrays = tuple(g[..., None] for g in grids) + (idx,)
+    return ext.at[index_arrays].add(vals)

@@ -1,0 +1,95 @@
+"""The graph-transformer encoder stack.
+
+Reference counterpart: generator/graph_transformer.py in jcyk/gtos
+(SURVEY.md §2.2 "Graph transformer (core encoder)", §3.4): N post-LN layers
+of relation-aware multi-head attention + FFN over all node pairs. The
+attention scores use the exact 4-term bank decomposition from
+gtos_tpu.ops.attention instead of materializing the O(N^2 * D) relation pair
+tensor; a Pallas fused kernel can be swapped in via `score_impl`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gtos_tpu.models.components import (
+    FeedForward, PostLNResidual, merge_heads, split_heads,
+)
+from gtos_tpu.ops.attention import bank_relation_attention, bank_relation_scores
+
+
+class RelationMultiheadAttention(nn.Module):
+    """Relation-aware MHA: e_ij = scale * (q_i + a_ij).(k_j + b_ij).
+
+    The relation bank vectors [P, Dr] are projected per layer into per-head
+    a/b banks [P, H, Dh] (the counterpart of the reference's
+    relation_in_proj — a single Linear chunked in two)."""
+
+    d_model: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+    score_impl: Callable = bank_relation_scores
+
+    @nn.compact
+    def __call__(self, x, rel_vecs, rel_index, node_mask):
+        """x: [B,N,D]; rel_vecs: [P,Dr]; rel_index: [B,N,N]; node_mask: [B,N]."""
+        H, Dh = self.heads, self.d_model // self.heads
+        q = split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(x), H)
+        k = split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(x), H)
+        v = split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(x), H)
+        ab = nn.Dense(2 * self.d_model, dtype=self.dtype, name="rel_proj")(rel_vecs)
+        P = ab.shape[0]
+        a_bank = ab[:, : self.d_model].reshape(P, H, Dh)
+        b_bank = ab[:, self.d_model:].reshape(P, H, Dh)
+        out, attn = bank_relation_attention(
+            q, k, v, a_bank, b_bank, rel_index, node_mask,
+            scores_fn=self.score_impl,
+        )
+        return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(
+            merge_heads(out))
+
+
+class GraphTransformerLayer(nn.Module):
+    d_model: int
+    d_ff: int
+    heads: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+    score_impl: Callable = bank_relation_scores
+
+    @nn.compact
+    def __call__(self, x, rel_vecs, rel_index, node_mask, deterministic=True):
+        attn = RelationMultiheadAttention(
+            self.d_model, self.heads, dtype=self.dtype,
+            score_impl=self.score_impl, name="self_attn",
+        )(x, rel_vecs, rel_index, node_mask)
+        x = PostLNResidual(self.dropout, dtype=self.dtype, name="attn_res")(
+            x, attn, deterministic)
+        ff = FeedForward(self.d_model, self.d_ff, self.dropout,
+                         dtype=self.dtype, name="ffn")(x, deterministic)
+        x = PostLNResidual(self.dropout, dtype=self.dtype, name="ffn_res")(
+            x, ff, deterministic)
+        return x
+
+
+class GraphTransformer(nn.Module):
+    layers: int
+    d_model: int
+    d_ff: int
+    heads: int
+    dropout: float
+    dtype: jnp.dtype = jnp.float32
+    score_impl: Callable = bank_relation_scores
+
+    @nn.compact
+    def __call__(self, x, rel_vecs, rel_index, node_mask, deterministic=True):
+        for i in range(self.layers):
+            x = GraphTransformerLayer(
+                self.d_model, self.d_ff, self.heads, self.dropout,
+                dtype=self.dtype, score_impl=self.score_impl, name=f"layer{i}",
+            )(x, rel_vecs, rel_index, node_mask, deterministic)
+        # zero padded nodes so downstream cross-attention sees clean memory
+        return jnp.where(node_mask[:, :, None], x, 0.0)
