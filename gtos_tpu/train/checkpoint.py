@@ -1,0 +1,57 @@
+"""Checkpoint/resume via orbax.
+
+The reference only saves (`torch.save({'args', 'model'})`, no optimizer
+state, resume by hand — SURVEY.md §5 "Checkpoint / resume"). Here the full
+TrainState (params + optimizer state + step + rng) is checkpointed with
+orbax, and the model/train configs ride along as JSON so inference can
+rebuild the exact model from the checkpoint alone (preserving the
+reference's args-in-ckpt contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from gtos_tpu.utils.config import ModelConfig, TrainConfig
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, model_cfg: ModelConfig,
+                 train_cfg: Optional[TrainConfig] = None, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True),
+        )
+        # configs as sidecar JSON (written once; host 0 only)
+        if jax.process_index() == 0:
+            with open(os.path.join(self.directory, "model_config.json"), "w") as f:
+                f.write(model_cfg.to_json())
+            if train_cfg is not None:
+                with open(os.path.join(self.directory, "train_config.json"), "w") as f:
+                    f.write(train_cfg.to_json())
+
+    def save(self, step: int, state):
+        self.mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self):
+        self.mgr.wait_until_finished()
+
+    def restore_latest(self, abstract_state):
+        step = self.mgr.latest_step()
+        if step is None:
+            return None
+        return self.mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract_state))
+
+    @staticmethod
+    def load_model_config(directory: str) -> ModelConfig:
+        with open(os.path.join(directory, "model_config.json")) as f:
+            return ModelConfig.from_json(f.read())

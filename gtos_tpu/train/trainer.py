@@ -1,0 +1,166 @@
+"""Training driver: jitted train step, epoch loop, eval, checkpointing.
+
+Reference counterpart: the epoch/step loop in generator/train.py of
+jcyk/gtos (SURVEY.md §3.2): batchify -> forward -> backward -> clip ->
+scheduled Adam step -> periodic dev eval + checkpoint. TPU re-design: the
+whole update (grad + clip + Adam + schedule) is ONE donated jit program per
+batch signature; gradient accumulation is optax.MultiSteps inside that same
+program; data parallelism shards the batch over the mesh and jit inserts the
+gradient psum (SURVEY.md §2.3 DP row) — there is no hand-written
+average_gradients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gtos_tpu.models.generator import Generator
+from gtos_tpu.train.optim import make_optimizer
+from gtos_tpu.utils.config import ModelConfig, TrainConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+def init_state(model: Generator, tx, example_arrays, seed: int) -> TrainState:
+    rng = jax.random.PRNGKey(seed)
+    p_rng, d_rng, loop_rng = jax.random.split(rng, 3)
+    params = model.init({"params": p_rng, "dropout": d_rng},
+                        example_arrays, deterministic=True)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+        rng=loop_rng,
+    )
+
+
+def make_train_step(model: Generator, tx) -> Callable:
+    """One donated, jitted optimizer step. Recompiles per batch signature
+    (bounded by the bucket ladder)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, arrays: Dict[str, jnp.ndarray]):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            loss, metrics = model.apply(
+                params, arrays, deterministic=False,
+                rngs={"dropout": step_rng})
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = dict(metrics, grad_norm=gnorm)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1, rng=rng), metrics
+
+    return train_step
+
+
+def make_eval_step(model: Generator) -> Callable:
+    @jax.jit
+    def eval_step(params, arrays):
+        loss, metrics = model.apply(params, arrays, deterministic=True)
+        return metrics
+    return eval_step
+
+
+class Trainer:
+    """Drives training over a DataLoader with periodic eval/checkpointing.
+
+    Host-side loop; each batch dispatches one jitted step. Metrics go to a
+    JSONL writer (gtos_tpu.utils.metrics)."""
+
+    def __init__(
+        self,
+        model: Generator,
+        model_cfg: ModelConfig,
+        train_cfg: TrainConfig,
+        example_arrays: Dict[str, np.ndarray],
+        metrics_writer=None,
+        checkpoint_manager=None,
+    ):
+        self.model = model
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.tx = make_optimizer(train_cfg, model_cfg.d_model)
+        self.state = init_state(model, self.tx, example_arrays,
+                                train_cfg.seed)
+        self.train_step = make_train_step(model, self.tx)
+        self.eval_step = make_eval_step(model)
+        self.metrics = metrics_writer
+        self.ckpt = checkpoint_manager
+
+    def restore_if_available(self):
+        if self.ckpt is not None:
+            restored = self.ckpt.restore_latest(self.state)
+            if restored is not None:
+                self.state = restored
+        return int(self.state.step)
+
+    def fit(self, train_loader: Iterable, dev_loader=None,
+            log_every: int = 50) -> Dict[str, float]:
+        cfg = self.train_cfg
+        step = self.restore_if_available()
+        t0 = time.time()
+        tokens_seen = 0
+        last: Dict[str, float] = {}
+        while step < cfg.total_steps:
+            for batch in train_loader:
+                arrays = batch.arrays()
+                self.state, metrics = self.train_step(self.state, arrays)
+                step = int(self.state.step)
+                tokens_seen += int(metrics["n_tok"])
+                if step % log_every == 0 or step == cfg.total_steps:
+                    dt = time.time() - t0
+                    last = {
+                        "step": step,
+                        "loss": float(metrics["loss"]),
+                        "acc": float(metrics["acc"]),
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "tokens_per_s": tokens_seen / max(dt, 1e-6),
+                    }
+                    if self.metrics is not None:
+                        self.metrics.write(dict(last, kind="train"))
+                if dev_loader is not None and step % cfg.eval_every == 0:
+                    ev = self.evaluate(dev_loader)
+                    if self.metrics is not None:
+                        self.metrics.write(dict(ev, step=step, kind="eval"))
+                if self.ckpt is not None and step % cfg.checkpoint_every == 0:
+                    self.ckpt.save(step, self.state)
+                if step >= cfg.total_steps:
+                    break
+        if self.ckpt is not None:
+            self.ckpt.save(step, self.state)
+            self.ckpt.wait()
+        return last
+
+    def evaluate(self, dev_loader) -> Dict[str, float]:
+        tot_loss, tot_tok, tot_acc = 0.0, 0.0, 0.0
+        for batch in dev_loader:
+            m = self.eval_step(self.state.params, batch.arrays())
+            n = float(m["n_tok"])
+            tot_loss += float(m["loss"]) * n
+            tot_acc += float(m["acc"]) * n
+            tot_tok += n
+        ppl = float(np.exp(min(tot_loss / max(tot_tok, 1.0), 20.0)))
+        return {"dev_loss": tot_loss / max(tot_tok, 1.0),
+                "dev_acc": tot_acc / max(tot_tok, 1.0), "dev_ppl": ppl}

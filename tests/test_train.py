@@ -1,0 +1,103 @@
+"""End-to-end training smoke: overfit a tiny synthetic corpus, decode it
+back, checkpoint round-trip (SURVEY.md §4 plan item d)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtos_tpu.data import DataLoader
+from gtos_tpu.data.dataloader import preprocess
+from gtos_tpu.data.extract import build_vocabs
+from gtos_tpu.data.synthetic import synthetic_amr_corpus
+from gtos_tpu.infer.decode import decode_batch
+from gtos_tpu.models import Generator
+from gtos_tpu.train.checkpoint import CheckpointManager
+from gtos_tpu.train.trainer import Trainer, init_state
+from gtos_tpu.train.optim import inverse_sqrt_schedule, make_optimizer
+from gtos_tpu.utils.config import ModelConfig, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_run():
+    graphs, targets = synthetic_amr_corpus(12, seed=5, min_nodes=3,
+                                           max_nodes=6)
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    cfg = ModelConfig(
+        token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
+        char_vocab=len(chv), d_model=64, d_ff=128, heads=4, enc_layers=2,
+        dec_layers=2, char_dim=8, char_filters=16, rel_emb_dim=16,
+        rel_hidden=32, max_oov=16, max_target_len=32, dropout=0.0)
+    # Note peak lr = lr_scale * d^-0.5 * warmup^-0.5 = 0.0125 here; hotter
+    # settings saturate this tiny model and stall (observed empirically).
+    tcfg = TrainConfig(total_steps=250, warmup_steps=100, lr_scale=1.0,
+                       eval_every=1000, checkpoint_every=1000)
+    model = Generator(cfg)
+    dl = DataLoader(instances, tv, cv, rv, chv, lm, batch_size_tokens=512,
+                    for_train=True, seed=1)
+    first = next(iter(dl))
+    trainer = Trainer(model, cfg, tcfg, first.arrays())
+    loss0 = float(model.apply(trainer.state.params, first.arrays(),
+                              deterministic=True)[0])
+    last = trainer.fit(dl, log_every=1000)
+    return model, trainer, cfg, tv, dl, instances, loss0, last
+
+
+def test_schedule_shape():
+    sched = inverse_sqrt_schedule(512, warmup_steps=100, scale=1.0)
+    lrs = [float(sched(s)) for s in [0, 50, 99, 100, 400, 10000]]
+    assert lrs[0] < lrs[1] < lrs[2]              # warming up
+    assert lrs[3] >= lrs[4] >= lrs[5]            # decaying
+    peak = (512 ** -0.5) * (100 ** -0.5)
+    assert abs(lrs[3] - peak) / peak < 0.05
+
+
+def test_loss_decreases(tiny_run):
+    model, trainer, cfg, tv, dl, instances, loss0, last = tiny_run
+    assert last["loss"] < loss0 * 0.5, (loss0, last)
+
+
+def test_overfit_decodes_training_data(tiny_run):
+    """After overfitting, greedy decode should reproduce most target tokens
+    (exercises the copy path end-to-end)."""
+    model, trainer, cfg, tv, dl, instances, loss0, last = tiny_run
+    from gtos_tpu.data import batchify
+    batch = batchify(instances[:4], dl.vocabs["token"], dl.vocabs["concept"],
+                     dl.vocabs["relation"], dl.vocabs["char"],
+                     dl.lexical_map, batch_size_bucket=4)
+    hyps = decode_batch(model, trainer.state.params, batch, tv.itos,
+                        beam_size=2, max_steps=30)
+    matches, total = 0, 0
+    for hyp, inst in zip(hyps, instances[:4]):
+        ref = inst.target
+        total += len(ref)
+        matches += sum(1 for a, b in zip(hyp, ref) if a == b)
+    assert total > 0
+    assert matches / total > 0.6, (matches, total, hyps)
+
+
+def test_checkpoint_roundtrip(tiny_run, tmp_path_factory):
+    model, trainer, cfg, tv, dl, instances, loss0, last = tiny_run
+    ckpt_dir = str(tmp_path_factory.mktemp("ckpt"))
+    mgr = CheckpointManager(ckpt_dir, cfg, trainer.train_cfg)
+    mgr.save(int(trainer.state.step), trainer.state)
+    mgr.wait()
+
+    # fresh state, restore
+    tx = make_optimizer(trainer.train_cfg, cfg.d_model)
+    batch = next(iter(dl))
+    fresh = init_state(model, tx, batch.arrays(), seed=999)
+    restored = mgr.restore_latest(fresh)
+    assert restored is not None
+    assert int(restored.step) == int(trainer.state.step)
+    l_orig = float(model.apply(trainer.state.params, batch.arrays(),
+                               deterministic=True)[0])
+    l_rest = float(model.apply(restored.params, batch.arrays(),
+                               deterministic=True)[0])
+    np.testing.assert_allclose(l_rest, l_orig, rtol=1e-5)
+    # config sidecar readable
+    cfg2 = CheckpointManager.load_model_config(ckpt_dir)
+    assert cfg2 == cfg
