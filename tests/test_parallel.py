@@ -1,0 +1,111 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4 item c):
+sharded DP train step == single-device step; edge-partitioned attention ==
+single-device sparse attention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtos_tpu.data import batchify
+from gtos_tpu.data.dataloader import preprocess
+from gtos_tpu.data.extract import build_vocabs
+from gtos_tpu.data.synthetic import synthetic_amr_corpus
+from gtos_tpu.models import Generator
+from gtos_tpu.ops.segment import sparse_graph_attention
+from gtos_tpu.parallel import (
+    edge_parallel_attention, make_mesh, make_sharded_train_step, shard_arrays,
+)
+from gtos_tpu.parallel.mesh import arrays_shardings
+from gtos_tpu.train.optim import make_optimizer
+from gtos_tpu.train.trainer import init_state, make_train_step
+from gtos_tpu.utils.config import ModelConfig, TrainConfig
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def test_mesh_shapes(eight_devices):
+    mesh = make_mesh(dp=4, mp=1, graph=2, devices=eight_devices)
+    assert mesh.shape == {"data": 4, "model": 1, "graph": 2}
+    mesh = make_mesh(devices=eight_devices)  # auto dp
+    assert mesh.shape["data"] == 8
+
+
+def test_sharded_train_step_matches_single(eight_devices):
+    graphs, targets = synthetic_amr_corpus(8, seed=9, min_nodes=3,
+                                           max_nodes=6)
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    batch = batchify(instances, tv, cv, rv, chv, lm, batch_size_bucket=8)
+    arrays = batch.arrays()
+    cfg = ModelConfig(
+        token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
+        char_vocab=len(chv), d_model=32, d_ff=64, heads=2, enc_layers=1,
+        dec_layers=1, char_dim=8, char_filters=16, rel_emb_dim=8,
+        rel_hidden=16, max_oov=16, max_target_len=32, dropout=0.0)
+    tcfg = TrainConfig(warmup_steps=100)
+    model = Generator(cfg)
+    tx = make_optimizer(tcfg, cfg.d_model)
+
+    state_a = init_state(model, tx, arrays, seed=0)
+    state_b = jax.tree_util.tree_map(lambda x: x.copy(), state_a)
+
+    single_step = make_train_step(model, tx)
+    state_a, m_a = single_step(state_a, arrays)
+
+    mesh = make_mesh(dp=8, devices=eight_devices)
+    sharded_step = make_sharded_train_step(model, tx, mesh, arrays)
+    dev_arrays = shard_arrays(mesh, arrays)
+    state_b, m_b = sharded_step(state_b, dev_arrays)
+
+    # loss and gradient norm must agree between 1-device and 8-device DP
+    # (post-Adam params are NOT compared: Adam normalizes near-zero grads by
+    # their own magnitude, amplifying reduction-order float noise to O(lr))
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_a["grad_norm"]),
+                               float(m_b["grad_norm"]), rtol=1e-4)
+
+    # gradients themselves agree to float tolerance
+    def grads_of(arrs):
+        def loss_fn(p):
+            return model.apply(p, arrs, deterministic=True)[0]
+        return jax.grad(loss_fn)(state_b.params)
+
+    g_single = grads_of(arrays)
+    g_sharded = jax.jit(
+        grads_of, in_shardings=(arrays_shardings(mesh, arrays),),
+    )(dev_arrays)
+    for a, b in zip(jax.tree_util.tree_leaves(g_single),
+                    jax.tree_util.tree_leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-6)
+
+
+def test_edge_parallel_matches_single(eight_devices):
+    rng = np.random.default_rng(0)
+    N, D, E = 32, 16, 128  # E divisible by 8
+    pairs = set()
+    while len(pairs) < 100:
+        pairs.add((int(rng.integers(0, N)), int(rng.integers(0, N))))
+    pairs = sorted(pairs, key=lambda p: p[1])[:100]
+    src = np.array([p[0] for p in pairs] + [0] * (E - 100))
+    dst = np.array([p[1] for p in pairs] + [0] * (E - 100))
+    mask = np.array([True] * 100 + [False] * (E - 100))
+
+    key = jax.random.PRNGKey(1)
+    q, k, v = (jax.random.normal(kk, (N, D)) for kk in jax.random.split(key, 3))
+    src_j, dst_j = jnp.array(src, jnp.int32), jnp.array(dst, jnp.int32)
+    mask_j = jnp.array(mask)
+
+    ref = sparse_graph_attention(q, k, v, src_j, dst_j, mask_j, N)
+
+    mesh = make_mesh(dp=1, mp=1, graph=8, devices=eight_devices)
+    out = edge_parallel_attention(mesh, q, k, v, src_j, dst_j, mask_j)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
