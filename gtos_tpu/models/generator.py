@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from gtos_tpu.models.decoder import Decoder
 from gtos_tpu.models.encoder import RelationEncoder, TokenEncoder
 from gtos_tpu.models.graph_transformer import GraphTransformer
-from gtos_tpu.ops.attention import bank_relation_scores
 from gtos_tpu.utils.config import ModelConfig
 
 EPS = 1e-9
@@ -37,7 +36,6 @@ def _dtype(cfg: ModelConfig):
 
 class Generator(nn.Module):
     cfg: ModelConfig
-    score_impl: callable = bank_relation_scores
 
     def setup(self):
         cfg = self.cfg
@@ -50,7 +48,7 @@ class Generator(nn.Module):
             cfg.d_model, cfg.dropout, dtype=dt)
         self.graph_transformer = GraphTransformer(
             cfg.enc_layers, cfg.d_model, cfg.d_ff, cfg.heads, cfg.dropout,
-            dtype=dt, score_impl=self.score_impl)
+            dtype=dt, impl=cfg.attention_impl)
         self.decoder = Decoder(
             cfg.token_vocab, cfg.dec_layers, cfg.d_model, cfg.d_ff,
             cfg.heads, cfg.dropout, cfg.max_target_len, dtype=dt)

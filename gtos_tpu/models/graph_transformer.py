@@ -26,12 +26,16 @@ class RelationMultiheadAttention(nn.Module):
 
     The relation bank vectors [P, Dr] are projected per layer into per-head
     a/b banks [P, H, Dh] (the counterpart of the reference's
-    relation_in_proj — a single Linear chunked in two)."""
+    relation_in_proj — a single Linear chunked in two).
+
+    impl: "xla" (pure-JAX bank decomposition), "pallas" (fused TPU kernel,
+    custom_vjp with XLA backward), "pallas_interpret" (kernel under the
+    Pallas interpreter for CPU tests)."""
 
     d_model: int
     heads: int
     dtype: jnp.dtype = jnp.float32
-    score_impl: Callable = bank_relation_scores
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, rel_vecs, rel_index, node_mask):
@@ -44,10 +48,14 @@ class RelationMultiheadAttention(nn.Module):
         P = ab.shape[0]
         a_bank = ab[:, : self.d_model].reshape(P, H, Dh)
         b_bank = ab[:, self.d_model:].reshape(P, H, Dh)
-        out, attn = bank_relation_attention(
-            q, k, v, a_bank, b_bank, rel_index, node_mask,
-            scores_fn=self.score_impl,
-        )
+        if self.impl in ("pallas", "pallas_interpret"):
+            from gtos_tpu.ops.pallas import relation_attention_trainable
+            out = relation_attention_trainable(
+                q, k, v, a_bank, b_bank, rel_index, node_mask,
+                interpret=(self.impl == "pallas_interpret"))
+        else:
+            out, _ = bank_relation_attention(
+                q, k, v, a_bank, b_bank, rel_index, node_mask)
         return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(
             merge_heads(out))
 
@@ -58,13 +66,13 @@ class GraphTransformerLayer(nn.Module):
     heads: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
-    score_impl: Callable = bank_relation_scores
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, rel_vecs, rel_index, node_mask, deterministic=True):
         attn = RelationMultiheadAttention(
             self.d_model, self.heads, dtype=self.dtype,
-            score_impl=self.score_impl, name="self_attn",
+            impl=self.impl, name="self_attn",
         )(x, rel_vecs, rel_index, node_mask)
         x = PostLNResidual(self.dropout, dtype=self.dtype, name="attn_res")(
             x, attn, deterministic)
@@ -82,14 +90,14 @@ class GraphTransformer(nn.Module):
     heads: int
     dropout: float
     dtype: jnp.dtype = jnp.float32
-    score_impl: Callable = bank_relation_scores
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, rel_vecs, rel_index, node_mask, deterministic=True):
         for i in range(self.layers):
             x = GraphTransformerLayer(
                 self.d_model, self.d_ff, self.heads, self.dropout,
-                dtype=self.dtype, score_impl=self.score_impl, name=f"layer{i}",
+                dtype=self.dtype, impl=self.impl, name=f"layer{i}",
             )(x, rel_vecs, rel_index, node_mask, deterministic)
         # zero padded nodes so downstream cross-attention sees clean memory
         return jnp.where(node_mask[:, :, None], x, 0.0)

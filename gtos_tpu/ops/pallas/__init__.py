@@ -1,0 +1,11 @@
+from gtos_tpu.ops.pallas.relation_attention import (
+    fused_relation_attention,
+    pallas_relation_attention,
+    relation_attention_trainable,
+)
+
+__all__ = [
+    "fused_relation_attention",
+    "pallas_relation_attention",
+    "relation_attention_trainable",
+]

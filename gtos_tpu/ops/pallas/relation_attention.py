@@ -1,0 +1,235 @@
+"""Pallas TPU kernel: fused relation-aware graph attention.
+
+The measured bottleneck of the XLA bank path is the per-pair gather of the
+relation score terms (take_along_axis lowers to ~8 ms per gather for
+B=32, N=128, P=2048 on v5e, vs 0.6 ms for the q.k matmul). This kernel
+keeps everything on-chip:
+
+  * per-head t2/t3 table planes stream into VMEM double buffers (head h+1's
+    DMA overlaps head h's compute) and the (i, j) -> bank-row lookup runs
+    as Mosaic's in-register `dynamic_gather` lane shuffle, decomposed into
+    P/128 chunk shuffles selected by the indices' high bits — no HBM
+    gather traffic at all;
+  * the t4 (relation-relation) term is pre-folded into the t2 table by the
+    XLA matmul epilogue, so only two tables are consumed;
+  * scores, masking, softmax and the attention*V aggregation are fused in
+    VMEM — nothing of O(N^2) ever touches HBM.
+
+Layouts (P is the relation-bank size, padded to a lane multiple):
+  q, k, v   : [B, H, N, Dh]   bf16/f32 (Dh zero-padded to 128 lanes)
+  t2        : [B, H, N, P]    t2[b,h,i,p] = q[b,h,i].b_bank[p,h] + t4[p,h]
+  t3        : [B, H, N, P]    t3[b,h,j,p] = k[b,h,j].a_bank[p,h]
+  idx, idxT : [B, N, N] int32 (idxT = idx transposed on the last two dims)
+  node_mask : [B, N] bool
+
+Reference math (jcyk/gtos RelationMultiheadAttention — SURVEY.md §3.4):
+  e_ij = scale * (q_i + a_ij).(k_j + b_ij), softmax over j, out = attn @ v.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _kernel(q_ref, k_ref, v_ref, t2_hbm, t3_hbm, idx_ref, idxT_ref,
+            mask_ref, out_ref, tbl_buf, dma_sems, *, scale):
+    """One program per batch element b.
+
+    q/k/v_ref: [H, N, Dh] VMEM; t2/t3_hbm: [H, N, P] in HBM, per-head
+    planes DMA'd into tbl_buf [2 tables, 2 slots, N, P] double buffers
+    (head h+1 prefetched during head h); idx/idxT_ref: [N, N];
+    mask_ref: [1, 1, N]; dma_sems: [2, 2]."""
+    H, N, Dh = q_ref.shape
+    P = tbl_buf.shape[-1]
+    f32 = jnp.float32
+
+    def dma(table_hbm, h, table_slot, buf_slot):
+        return pltpu.make_async_copy(
+            table_hbm.at[h],                       # [N, P] bf16 plane
+            tbl_buf.at[table_slot, buf_slot],
+            dma_sems.at[table_slot, buf_slot],
+        )
+
+    mask_add = jnp.where(mask_ref[0, 0, :] != 0, 0.0, NEG_INF).reshape(1, N)
+    idx32 = idx_ref[:, :]
+    idxT32 = idxT_ref[:, :]
+
+    def gather_wide(tbl_slot, buf_slot, indices):
+        """out[r, c] = table[r, indices[r, c]] for a [N, P] table.
+
+        The TPU's dynamic_gather is a within-vreg lane shuffle (gather dim
+        <= 128), so the P-wide lookup decomposes into P/128 chunk shuffles
+        selected by the indices' high bits — all in registers. The indices
+        array must match the chunk's [N, 128] shape, so for N < 128 it is
+        zero-padded on the right and the result sliced back."""
+        if N < 128:
+            indices = jnp.pad(indices, ((0, 0), (0, 128 - N)))
+        out = jnp.zeros(indices.shape, f32)
+        for c in range(P // 128):
+            local = indices - c * 128
+            inb = jnp.logical_and(local >= 0, local < 128)
+            lidx = jnp.clip(local, 0, 127)
+            chunk = tbl_buf[tbl_slot, buf_slot][:, c * 128:(c + 1) * 128]
+            part = jnp.take_along_axis(
+                chunk.astype(f32), lidx, axis=1, mode="promise_in_bounds")
+            out = jnp.where(inb, part, out)
+        return out[:, :N]
+
+    dma(t2_hbm, 0, 0, 0).start()
+    dma(t3_hbm, 0, 1, 0).start()
+
+    for h in range(H):  # H is small and static: unrolled
+        slot = h % 2
+        if h + 1 < H:  # prefetch next head's table planes
+            dma(t2_hbm, h + 1, 0, (h + 1) % 2).start()
+            dma(t3_hbm, h + 1, 1, (h + 1) % 2).start()
+        dma(t2_hbm, h, 0, slot).wait()
+        dma(t3_hbm, h, 1, slot).wait()
+
+        # e24[i, j] = t2[h, i, idx[i, j]]
+        e24 = gather_wide(0, slot, idx32)
+        # e3t[j, i] = t3[h, j, idx[i, j]]
+        e3t = gather_wide(1, slot, idxT32)
+        t1 = jax.lax.dot_general(
+            q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+        e = (t1 + e24 + e3t.T) * scale + mask_add
+        m = jnp.max(e, axis=-1, keepdims=True)
+        p = jnp.exp(e - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        attn = (p / s).astype(v_ref.dtype)
+        out_ref[h] = jax.lax.dot_general(
+            attn, v_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "scale"))
+def fused_relation_attention(q, k, v, t2, t3, idx, idxT, node_mask,
+                             interpret: bool = False, scale: float = None):
+    """Fused attention. Shapes as in the module docstring. Returns
+    out [B, H, N, Dh] in v.dtype."""
+    B, H, N, Dh = q.shape
+    P = t2.shape[-1]
+    if scale is None:
+        scale = Dh ** -0.5  # true head dim, fixed before any padding
+    # Mosaic requires lane-aligned (multiple-of-128) minor dims on sliced
+    # VMEM refs; zero-pad Dh (zeros are inert through q.k and attn@v).
+    Dh_pad = max(128, -(-Dh // 128) * 128)
+    if Dh != Dh_pad:
+        pad = [(0, 0)] * 3 + [(0, Dh_pad - Dh)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+        out = fused_relation_attention(
+            q, k, v, t2, t3, idx, idxT, node_mask, interpret=interpret,
+            scale=scale)
+        return out[..., :Dh]
+    grid = (B,)
+    qkv_spec = pl.BlockSpec((1, H, N, Dh), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    # HBM-resident tables: full array, sliced by program id inside the kernel
+    tbl_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    idx_spec = pl.BlockSpec((1, N, N), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def kernel(q_r, k_r, v_r, t2_r, t3_r, idx_r, idxT_r, mask_r, out_r,
+               tbl_buf, sems):
+        b = pl.program_id(0)
+        _kernel(q_r.at[0], k_r.at[0], v_r.at[0], t2_r.at[b], t3_r.at[b],
+                idx_r.at[0], idxT_r.at[0], mask_r, out_r.at[0],
+                tbl_buf, sems, scale=scale)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, tbl_spec, tbl_spec,
+                  idx_spec, idx_spec, mask_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, N, Dh), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, N, P), t2.dtype),   # per-head double buffers
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(q, k, v, t2, t3, idx, idxT,
+      node_mask.astype(jnp.int32).reshape(B, 1, N))
+
+
+def pallas_relation_attention(q, k, v, a_bank, b_bank, rel_index, key_mask,
+                              *, interpret: bool = False):
+    """Drop-in equivalent of ops.attention.bank_relation_attention (output
+    only; attention probs are not materialized — the fusion's point).
+
+    q,k,v: [B,H,N,Dh]; a_bank/b_bank: [P,H,Dh]; rel_index: [B,N,N]."""
+    f32 = jnp.float32
+    t4 = jnp.einsum("phd,phd->ph", a_bank.astype(f32), b_bank.astype(f32))
+    # tables in the kernel's [B, H, N, P] layout, t4 folded into t2
+    t2 = (jnp.einsum("bhid,phd->bhip", q, b_bank,
+                     preferred_element_type=f32)
+          + t4.T[None, :, None]).astype(q.dtype)
+    t3 = jnp.einsum("bhjd,phd->bhjp", k, a_bank,
+                    preferred_element_type=f32).astype(q.dtype)
+    idxT = jnp.swapaxes(rel_index, 1, 2)
+    out = fused_relation_attention(
+        q, k, v, t2, t3, rel_index, idxT, key_mask, interpret=interpret)
+    return out, None
+
+
+# ---------------------------------------------------------------------------
+# Trainable wrapper: Pallas forward, XLA-recompute backward.
+#
+# The backward pass reuses the pure-JAX bank decomposition's gradients
+# (ops.attention.bank_relation_attention), so training with the kernel is
+# never slower than the pure-XLA path while the forward (and all of
+# inference/beam search) gets the fused-kernel speedup. A dedicated
+# backward kernel (scatter via the same lane-shuffle trick) is future work.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _rel_attn_vjp(interpret, q, k, v, a_bank, b_bank, rel_index, key_mask):
+    out, _ = pallas_relation_attention(
+        q, k, v, a_bank, b_bank, rel_index, key_mask, interpret=interpret)
+    return out
+
+
+def _rel_attn_fwd(interpret, q, k, v, a_bank, b_bank, rel_index, key_mask):
+    out = _rel_attn_vjp(interpret, q, k, v, a_bank, b_bank, rel_index,
+                        key_mask)
+    return out, (q, k, v, a_bank, b_bank, rel_index, key_mask)
+
+
+def _rel_attn_bwd(interpret, res, g):
+    from gtos_tpu.ops.attention import bank_relation_attention
+
+    q, k, v, a_bank, b_bank, rel_index, key_mask = res
+
+    def f(q, k, v, a_bank, b_bank):
+        out, _ = bank_relation_attention(
+            q, k, v, a_bank, b_bank, rel_index, key_mask)
+        return out
+
+    _, vjp = jax.vjp(f, q, k, v, a_bank, b_bank)
+    gq, gk, gv, ga, gb = vjp(g.astype(q.dtype))
+    zero_idx = _np.zeros(rel_index.shape, jax.dtypes.float0)
+    zero_mask = _np.zeros(key_mask.shape, jax.dtypes.float0)
+    return gq, gk, gv, ga, gb, zero_idx, zero_mask
+
+
+_rel_attn_vjp.defvjp(_rel_attn_fwd, _rel_attn_bwd)
+
+
+def relation_attention_trainable(q, k, v, a_bank, b_bank, rel_index,
+                                 key_mask, *, interpret: bool = False):
+    """Differentiable fused relation attention (see module docstring)."""
+    return _rel_attn_vjp(interpret, q, k, v, a_bank, b_bank, rel_index,
+                         key_mask)

@@ -44,6 +44,10 @@ class ModelConfig:
     # numerics: params stay f32; activations in compute_dtype
     compute_dtype: str = "float32"
     max_target_len: int = 128
+    # encoder attention implementation: "xla" (pure-JAX bank decomposition),
+    # "pallas" (fused TPU kernel), "pallas_interpret" (kernel under the
+    # interpreter, for CPU tests)
+    attention_impl: str = "xla"
 
     @property
     def ext_vocab(self) -> int:
