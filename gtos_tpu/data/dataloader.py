@@ -65,6 +65,7 @@ class DataLoader:
         spec: BucketSpec = BucketSpec(),
         for_train: bool = True,
         seed: int = 19940117,
+        batch_multiple: int = 1,
     ):
         self.instances = list(instances)
         self.vocabs = dict(
@@ -78,6 +79,8 @@ class DataLoader:
         self.for_train = for_train
         self.seed = seed
         self.epoch = 0
+        # batch dim padded to a multiple of this (e.g. the mesh's dp size)
+        self.batch_multiple = batch_multiple
 
     def _cost(self, inst: Instance) -> int:
         return max(len(inst.target) + 1, len(inst.concepts) + 1)
@@ -122,10 +125,13 @@ class DataLoader:
     def __iter__(self) -> Iterator[GraphBatch]:
         self.epoch += 1
         for group in self._plan_batches():
-            # Pad batch dim to a power of two for shape stability.
+            # Pad batch dim to a power of two (shape stability), then to the
+            # mesh multiple (DP divisibility).
             bsz = 1
             while bsz < len(group):
                 bsz *= 2
+            m = self.batch_multiple
+            bsz = ((bsz + m - 1) // m) * m
             yield batchify(
                 group,
                 self.vocabs["token"], self.vocabs["concept"],

@@ -1,0 +1,97 @@
+"""Inference CLI — the counterpart of generator/work.py and
+translator/work.py in jcyk/gtos (SURVEY.md §3.5): load a checkpoint
+(config + vocabs ride in the checkpoint directory, so the exact model is
+rebuilt), batch beam-search the test set, write one hypothesis per line,
+optionally score BLEU with sacrebleu.
+
+  python -m gtos_tpu.infer.work --ckpt_dir ckpt --test_data test.amr \\
+      --output out.txt --beam_size 8 --alpha 0.6 [--eval_bleu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--task", choices=["amr", "nmt"], default="amr")
+    p.add_argument("--test_data", required=True)
+    p.add_argument("--test_target", help="references (nmt; amr uses ::snt/::tok)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--beam_size", type=int, default=8)
+    p.add_argument("--alpha", type=float, default=0.6,
+                   help="length penalty exponent")
+    p.add_argument("--max_time_step", type=int, default=100)
+    p.add_argument("--batch_size_tokens", type=int, default=4096)
+    p.add_argument("--eval_bleu", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import os
+
+    from gtos_tpu.data.dataloader import DataLoader, preprocess
+    from gtos_tpu.data.extract import load_vocabs
+    from gtos_tpu.infer.decode import decode_batch
+    from gtos_tpu.models import Generator
+    from gtos_tpu.train.checkpoint import CheckpointManager
+    from gtos_tpu.train.optim import make_optimizer
+    from gtos_tpu.train.trainer import init_state
+    from gtos_tpu.train.train import load_corpus
+    from gtos_tpu.utils.config import TrainConfig
+
+    model_cfg = CheckpointManager.load_model_config(args.ckpt_dir)
+    tv, cv, rv, chv, lm = load_vocabs(os.path.join(args.ckpt_dir, "vocabs"))
+    model = Generator(model_cfg)
+
+    graphs, targets = load_corpus(args.task, args.test_data, args.test_target)
+    instances = preprocess(graphs, targets)
+    dl = DataLoader(instances, tv, cv, rv, chv, lm,
+                    batch_size_tokens=args.batch_size_tokens,
+                    for_train=False)
+
+    # restore parameters (shape template from a real batch)
+    first = next(iter(dl))
+    ckpt = CheckpointManager(args.ckpt_dir, model_cfg)
+    template = init_state(model, make_optimizer(TrainConfig(), model_cfg.d_model),
+                          first.arrays(), seed=0)
+    state = ckpt.restore_latest(template)
+    assert state is not None, f"no checkpoint found in {args.ckpt_dir}"
+    print(f"restored step {int(state.step)}", file=sys.stderr)
+
+    # decode batch groups in plan order; references follow the same order
+    # (for_train=False keeps the plan deterministic)
+    lines, ordered_refs = [], []
+    from gtos_tpu.data import batchify
+    for group in dl._plan_batches():
+        bsz = 1
+        while bsz < len(group):
+            bsz *= 2
+        batch = batchify(group, tv, cv, rv, chv, lm, spec=dl.spec,
+                         batch_size_bucket=bsz, for_train=False)
+        hyps = decode_batch(model, state.params, batch, tv.itos,
+                            beam_size=args.beam_size,
+                            max_steps=args.max_time_step, alpha=args.alpha)
+        for hyp, inst in zip(hyps, group):
+            lines.append(" ".join(hyp))
+            ordered_refs.append(" ".join(inst.target))
+
+    with open(args.output, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {len(lines)} hypotheses to {args.output}", file=sys.stderr)
+
+    if args.eval_bleu:
+        import sacrebleu
+        bleu = sacrebleu.corpus_bleu(lines, [ordered_refs])
+        print(f"BLEU = {bleu.score:.2f}", file=sys.stderr)
+        return bleu.score
+    return None
+
+
+if __name__ == "__main__":
+    main()

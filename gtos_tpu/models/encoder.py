@@ -50,7 +50,12 @@ class CharCNN(nn.Module):
 
 
 class TokenEncoder(nn.Module):
-    """Concept embedding + CharCNN -> d_model, LayerNorm, dropout."""
+    """Concept embedding + CharCNN -> d_model, LayerNorm, dropout.
+
+    add_positions: sinusoidal positions added to node embeddings — used by
+    the translator (dependency NMT) path where nodes are the source words
+    in sentence order (SURVEY.md §2.2 "translator/ mirror"); AMR concepts
+    are unordered so the generator path leaves it off."""
 
     vocab: int
     char_vocab: int
@@ -60,6 +65,7 @@ class TokenEncoder(nn.Module):
     char_widths: tuple
     dropout: float
     dtype: jnp.dtype = jnp.float32
+    add_positions: bool = False
 
     @nn.compact
     def __call__(self, ids, chars, deterministic: bool = True):
@@ -70,6 +76,10 @@ class TokenEncoder(nn.Module):
                      name="char_cnn")(chars)
         x = nn.Dense(self.d_model, dtype=self.dtype, name="merge")(
             jnp.concatenate([emb, ch], axis=-1))
+        if self.add_positions:
+            from gtos_tpu.models.components import sinusoidal_positions
+            pos = sinusoidal_positions(ids.shape[1], self.d_model)
+            x = x + pos[None].astype(x.dtype)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln")(
             x.astype(jnp.float32)).astype(self.dtype)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)

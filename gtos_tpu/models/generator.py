@@ -42,7 +42,8 @@ class Generator(nn.Module):
         dt = _dtype(cfg)
         self.token_encoder = TokenEncoder(
             cfg.concept_vocab, cfg.char_vocab, cfg.d_model, cfg.char_dim,
-            cfg.char_filters, cfg.char_widths, cfg.dropout, dtype=dt)
+            cfg.char_filters, cfg.char_widths, cfg.dropout, dtype=dt,
+            add_positions=cfg.use_node_positions)
         self.relation_encoder = RelationEncoder(
             cfg.relation_vocab, cfg.rel_emb_dim, cfg.rel_hidden,
             cfg.d_model, cfg.dropout, dtype=dt)

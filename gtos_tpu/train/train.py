@@ -1,0 +1,205 @@
+"""Training CLI — the counterpart of generator/train.py and
+translator/train.py in jcyk/gtos (SURVEY.md §3.2/§3.3), one driver for both
+tasks:
+
+  # AMR-to-text (generator path)
+  python -m gtos_tpu.train.train --task amr \\
+      --train_data train.amr --dev_data dev.amr --ckpt_dir ckpt
+
+  # dependency-graph NMT (translator path)
+  python -m gtos_tpu.train.train --task nmt \\
+      --train_data train.conll --train_target train.tgt \\
+      --dev_data dev.conll --dev_target dev.tgt --ckpt_dir ckpt
+
+  # synthetic smoke run (no data needed)
+  python -m gtos_tpu.train.train --task amr --synthetic 256 --ckpt_dir ckpt
+
+Where the reference spawns per-GPU processes with NCCL all-reduce, --dp N
+shards batches over an N-way mesh 'data' axis in ONE process per host;
+multi-host runs pass --coordinator/--num_hosts/--host_id
+(jax.distributed.initialize). Config and vocabs are stored in the
+checkpoint directory, preserving the reference's args-in-checkpoint
+contract for inference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+from typing import List, Tuple
+
+from gtos_tpu.graph.ir import Graph
+from gtos_tpu.graph.paths import RelationPathConfig
+from gtos_tpu.utils.config import ModelConfig, TrainConfig
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", choices=["amr", "nmt"], default="amr")
+    p.add_argument("--train_data", help="sembank file (amr) or CoNLL file (nmt)")
+    p.add_argument("--train_target", help="target sentences, one per line (nmt)")
+    p.add_argument("--dev_data")
+    p.add_argument("--dev_target")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic instances instead of files")
+    p.add_argument("--ckpt_dir", required=True)
+    # model
+    p.add_argument("--d_model", type=int, default=512)
+    p.add_argument("--d_ff", type=int, default=1024)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--enc_layers", type=int, default=4)
+    p.add_argument("--dec_layers", type=int, default=4)
+    p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--label_smoothing", type=float, default=0.0)
+    p.add_argument("--max_path_len", type=int, default=8)
+    p.add_argument("--max_target_len", type=int, default=128)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--attention_impl", default="xla",
+                   choices=["xla", "pallas", "pallas_interpret"])
+    # optimization
+    p.add_argument("--total_steps", type=int, default=100000)
+    p.add_argument("--warmup_steps", type=int, default=4000)
+    p.add_argument("--lr_scale", type=float, default=1.0)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--accum_steps", type=int, default=1)
+    p.add_argument("--batch_size_tokens", type=int, default=4096)
+    p.add_argument("--eval_every", type=int, default=500)
+    p.add_argument("--checkpoint_every", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=19940117)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint in --ckpt_dir")
+    # parallelism
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (0 = no mesh, single device)")
+    p.add_argument("--coordinator", help="multi-host coordinator address")
+    p.add_argument("--num_hosts", type=int, default=1)
+    p.add_argument("--host_id", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def load_corpus(task: str, data_path: str, target_path=None
+                ) -> Tuple[List[Graph], List[List[str]]]:
+    if task == "amr":
+        from gtos_tpu.graph.amr import read_amr_file
+        graphs = read_amr_file(data_path)
+        targets = []
+        kept = []
+        for g in graphs:
+            snt = (g.meta or {}).get("tok") or (g.meta or {}).get("snt")
+            if snt is None:
+                continue
+            kept.append(g)
+            targets.append(snt.split())
+        return kept, targets
+    else:
+        from gtos_tpu.graph.dependency import read_conll_file
+        graphs = read_conll_file(data_path)
+        with open(target_path) as f:
+            targets = [line.split() for line in f]
+        assert len(graphs) == len(targets), "source/target count mismatch"
+        return graphs, targets
+
+
+def load_synthetic(task: str, n: int):
+    from gtos_tpu.data.synthetic import (
+        synthetic_amr_corpus, synthetic_dependency_corpus)
+    fn = synthetic_amr_corpus if task == "amr" else synthetic_dependency_corpus
+    return fn(n, seed=0)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    if args.coordinator:
+        import jax
+        jax.distributed.initialize(args.coordinator, args.num_hosts,
+                                   args.host_id)
+
+    import jax
+
+    from gtos_tpu.data.dataloader import DataLoader, preprocess
+    from gtos_tpu.data.extract import build_vocabs, load_vocabs, save_vocabs
+    from gtos_tpu.models import Generator
+    from gtos_tpu.train.checkpoint import CheckpointManager
+    from gtos_tpu.train.trainer import Trainer
+    from gtos_tpu.utils.metrics import MetricsWriter
+
+    path_cfg = RelationPathConfig(max_path_len=args.max_path_len)
+
+    if args.synthetic:
+        graphs, targets = load_synthetic(args.task, args.synthetic)
+        dev_graphs, dev_targets = load_synthetic(args.task, max(args.synthetic // 10, 4))
+    else:
+        assert args.train_data, "--train_data or --synthetic required"
+        graphs, targets = load_corpus(args.task, args.train_data,
+                                      args.train_target)
+        dev_graphs, dev_targets = (
+            load_corpus(args.task, args.dev_data, args.dev_target)
+            if args.dev_data else ([], []))
+
+    vocab_dir = os.path.join(args.ckpt_dir, "vocabs")
+    if os.path.exists(os.path.join(vocab_dir, "token_vocab.json")):
+        tv, cv, rv, chv, lm = load_vocabs(vocab_dir)
+    else:
+        tv, cv, rv, chv, lm = build_vocabs(graphs, targets, path_cfg=path_cfg)
+        if jax.process_index() == 0:
+            save_vocabs(vocab_dir, tv, cv, rv, chv, lm)
+
+    model_cfg = ModelConfig(
+        token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
+        char_vocab=len(chv), d_model=args.d_model, d_ff=args.d_ff,
+        heads=args.heads, enc_layers=args.enc_layers,
+        dec_layers=args.dec_layers, dropout=args.dropout,
+        label_smoothing=args.label_smoothing,
+        max_target_len=args.max_target_len,
+        compute_dtype=args.compute_dtype,
+        attention_impl=args.attention_impl,
+        use_copy=(args.task == "amr"),
+        use_node_positions=(args.task == "nmt"),
+    )
+    train_cfg = TrainConfig(
+        lr_scale=args.lr_scale, warmup_steps=args.warmup_steps,
+        grad_clip=args.grad_clip, accum_steps=args.accum_steps,
+        total_steps=args.total_steps, eval_every=args.eval_every,
+        checkpoint_every=args.checkpoint_every,
+        batch_size_tokens=args.batch_size_tokens, seed=args.seed,
+        dp_size=args.dp,
+    )
+
+    mesh = None
+    if args.dp:
+        from gtos_tpu.parallel import make_mesh
+        mesh = make_mesh(dp=args.dp)
+
+    instances = preprocess(graphs, targets, path_cfg)
+    dev_instances = preprocess(dev_graphs, dev_targets, path_cfg)
+    dl = DataLoader(instances, tv, cv, rv, chv, lm,
+                    batch_size_tokens=args.batch_size_tokens, for_train=True,
+                    seed=args.seed, batch_multiple=args.dp or 1)
+    dev_dl = (DataLoader(dev_instances, tv, cv, rv, chv, lm,
+                         batch_size_tokens=args.batch_size_tokens,
+                         for_train=False, batch_multiple=args.dp or 1)
+              if dev_instances else None)
+
+    model = Generator(model_cfg)
+    first = next(iter(dl))
+    metrics = MetricsWriter(
+        os.path.join(args.ckpt_dir, "metrics.jsonl"),
+        enabled=(jax.process_index() == 0))
+    ckpt = CheckpointManager(args.ckpt_dir, model_cfg, train_cfg)
+    trainer = Trainer(model, model_cfg, train_cfg, first.arrays(),
+                      metrics_writer=metrics, checkpoint_manager=ckpt,
+                      mesh=mesh)
+    if args.resume:
+        step = trainer.restore_if_available()
+        print(f"resumed at step {step}", file=sys.stderr)
+    last = trainer.fit(dl, dev_dl)
+    print(f"done: {last}", file=sys.stderr)
+    return last
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,7 @@ class Trainer:
         example_arrays: Dict[str, np.ndarray],
         metrics_writer=None,
         checkpoint_manager=None,
+        mesh=None,
     ):
         self.model = model
         self.model_cfg = model_cfg
@@ -104,10 +105,22 @@ class Trainer:
         self.tx = make_optimizer(train_cfg, model_cfg.d_model)
         self.state = init_state(model, self.tx, example_arrays,
                                 train_cfg.seed)
-        self.train_step = make_train_step(model, self.tx)
+        self.mesh = mesh
+        if mesh is not None:
+            from gtos_tpu.parallel.train import make_sharded_train_step
+            self.train_step = make_sharded_train_step(
+                model, self.tx, mesh, example_arrays)
+        else:
+            self.train_step = make_train_step(model, self.tx)
         self.eval_step = make_eval_step(model)
         self.metrics = metrics_writer
         self.ckpt = checkpoint_manager
+
+    def _put(self, arrays):
+        if self.mesh is None:
+            return arrays
+        from gtos_tpu.parallel.mesh import shard_arrays
+        return shard_arrays(self.mesh, arrays)
 
     def restore_if_available(self):
         if self.ckpt is not None:
@@ -119,13 +132,13 @@ class Trainer:
     def fit(self, train_loader: Iterable, dev_loader=None,
             log_every: int = 50) -> Dict[str, float]:
         cfg = self.train_cfg
-        step = self.restore_if_available()
+        step = int(self.state.step)  # resume via restore_if_available()
         t0 = time.time()
         tokens_seen = 0
         last: Dict[str, float] = {}
         while step < cfg.total_steps:
             for batch in train_loader:
-                arrays = batch.arrays()
+                arrays = self._put(batch.arrays())
                 self.state, metrics = self.train_step(self.state, arrays)
                 step = int(self.state.step)
                 tokens_seen += int(metrics["n_tok"])

@@ -41,6 +41,8 @@ class ModelConfig:
     # copy mechanism: extended vocab = token_vocab + max_oov
     max_oov: int = 64
     use_copy: bool = True
+    # translator path: nodes are source words in order -> add positions
+    use_node_positions: bool = False
     # numerics: params stay f32; activations in compute_dtype
     compute_dtype: str = "float32"
     max_target_len: int = 128
