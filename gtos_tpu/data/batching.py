@@ -177,10 +177,20 @@ def batchify(
         gid = bank_id(global_path)
         rel_index[b, 0, :nodes_here] = gid
         rel_index[b, :nodes_here, 0] = gid
-        for i in range(n_real):
-            row = inst.pair_paths[i]
-            for j in range(n_real):
-                rel_index[b, i + 1, j + 1] = bank_id(row[j])
+        pp = inst.pair_paths
+        if hasattr(pp, "pair_idx"):
+            # PackedPaths fast path: map each graph-local unique path to a
+            # batch bank id once, then one vectorized take for the O(n^2)
+            # pair matrix
+            local2bank = np.fromiter(
+                (bank_id(p) for p in pp.uniq), dtype=np.int32,
+                count=len(pp.uniq))
+            rel_index[b, 1:n_real + 1, 1:n_real + 1] = local2bank[pp.pair_idx]
+        else:
+            for i in range(n_real):
+                row = pp[i]
+                for j in range(n_real):
+                    rel_index[b, i + 1, j + 1] = bank_id(row[j])
 
         # copy targets -> extended vocab ids
         oov: List[str] = []

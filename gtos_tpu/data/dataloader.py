@@ -27,19 +27,21 @@ def preprocess(
     """Graph + target -> Instance with precomputed shortest-path relations.
 
     The all-pairs BFS runs here, on the host, once per instance (SURVEY.md
-    §3.1: path extraction happens in preprocessing, not at train time). Uses
-    the C++ native path extractor when available (gtos_tpu.native)."""
+    §3.1: path extraction happens in preprocessing, not at train time).
+    Paths are kept in the deduplicated PackedPaths form (batchify consumes
+    it with a vectorized bank mapping); the C++ extractor
+    (gtos_tpu.native) is used when available, pure Python otherwise."""
     try:
-        from gtos_tpu.native import relation_paths_native as _paths
+        from gtos_tpu.native import pack_relation_paths_native as _pack
     except ImportError:
-        _paths = None
+        from gtos_tpu.graph.paths import pack_relation_paths as _pack
 
     out: List[Instance] = []
     for g, tgt in zip(graphs, targets):
         if max_nodes is not None and g.num_nodes + 1 > max_nodes:
             continue
-        paths = _paths(g, path_cfg) if _paths is not None else relation_paths(g, path_cfg)
-        out.append(Instance(concepts=list(g.nodes), pair_paths=paths,
+        out.append(Instance(concepts=list(g.nodes),
+                            pair_paths=_pack(g, path_cfg),
                             target=list(tgt), meta=g.meta))
     return out
 

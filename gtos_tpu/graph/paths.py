@@ -81,6 +81,50 @@ def relation_paths(
     return out
 
 
+@dataclasses.dataclass
+class PackedPaths:
+    """Deduplicated per-graph path set: `uniq[pair_idx[i, j]]` is the label
+    tuple for pair (i, j). Row 0 of uniq is the NONE (unreachable) path and
+    the diagonal points at a SELF entry, so all pairs go through one
+    uniform index -> tuple mapping. Produced by the native extractor (and
+    pack_relation_paths) so batchify can map each unique path to a batch
+    bank id once and fill the O(n^2) pair index with one vectorized take.
+    """
+
+    uniq: List[Tuple[str, ...]]
+    pair_idx: "object"  # np.ndarray [n, n] int32
+
+    def expand(self) -> List[List[Tuple[str, ...]]]:
+        """Nested-list form (the relation_paths contract), for tests."""
+        n = self.pair_idx.shape[0]
+        return [[self.uniq[self.pair_idx[i, j]] for j in range(n)]
+                for i in range(n)]
+
+
+def pack_relation_paths(
+    graph: Graph, cfg: RelationPathConfig = RelationPathConfig()
+) -> PackedPaths:
+    """Pure-Python producer of PackedPaths (fallback when the native
+    extractor is unavailable); semantics identical to relation_paths."""
+    import numpy as np
+
+    nested = relation_paths(graph, cfg)
+    n = graph.num_nodes
+    uniq: List[Tuple[str, ...]] = [(NONE_LABEL,)]
+    index = {(NONE_LABEL,): 0}
+    pair_idx = np.zeros((n, n), dtype=np.int32)
+    for i in range(n):
+        row = nested[i]
+        for j in range(n):
+            p = row[j]
+            k = index.get(p)
+            if k is None:
+                k = index[p] = len(uniq)
+                uniq.append(p)
+            pair_idx[i, j] = k
+    return PackedPaths(uniq=uniq, pair_idx=pair_idx)
+
+
 def collect_relation_labels(graphs: Sequence[Graph], cfg: RelationPathConfig = RelationPathConfig()):
     """All labels a relation vocab must contain for these graphs: every edge
     label, its reverse-marked twin, and the special tokens."""
