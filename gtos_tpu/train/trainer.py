@@ -141,6 +141,15 @@ class Trainer:
                 arrays = self._put(batch.arrays())
                 self.state, metrics = self.train_step(self.state, arrays)
                 step = int(self.state.step)
+                loss_val = float(metrics["loss"])
+                if not np.isfinite(loss_val):
+                    # fail fast with a resumable state on disk (SURVEY.md §5
+                    # failure detection: restart from the last checkpoint)
+                    if self.ckpt is not None:
+                        self.ckpt.wait()
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_val} at step {step}; "
+                        "restart with --resume from the last checkpoint")
                 tokens_seen += int(metrics["n_tok"])
                 if step % log_every == 0 or step == cfg.total_steps:
                     dt = time.time() - t0
