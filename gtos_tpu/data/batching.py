@@ -192,7 +192,10 @@ def batchify(
                 for j in range(n_real):
                     rel_index[b, i + 1, j + 1] = bank_id(row[j])
 
-        # copy targets -> extended vocab ids
+        # copy targets -> extended vocab ids (capped at the spec's max_oov
+        # bucket so extended ids never exceed the model's ext_vocab; OOVs
+        # past the cap degrade to UNK instead of overflowing the scatter)
+        oov_cap = spec.max_oov[-1]
         oov: List[str] = []
         oov_pos: Dict[str, int] = {}
         cp_seq[b, 0] = token_vocab.unk_id
@@ -200,10 +203,11 @@ def batchify(
             surf = lexical_map.copy_target(c)
             tid = token_vocab.stoi.get(surf)
             if tid is None:
-                if surf not in oov_pos:
-                    oov_pos[surf] = len(oov)
+                pos = oov_pos.get(surf)
+                if pos is None and len(oov) < oov_cap:
+                    pos = oov_pos[surf] = len(oov)
                     oov.append(surf)
-                tid = V + oov_pos[surf]
+                tid = V + pos if pos is not None else token_vocab.unk_id
             cp_seq[b, i + 1] = tid
             copy_mask[b, i + 1] = True
 

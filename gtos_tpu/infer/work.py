@@ -27,6 +27,11 @@ def parse_args(argv=None):
     p.add_argument("--max_time_step", type=int, default=100)
     p.add_argument("--batch_size_tokens", type=int, default=4096)
     p.add_argument("--eval_bleu", action="store_true")
+    p.add_argument("--eval_chrf", action="store_true")
+    p.add_argument("--bpe_marker", default=None,
+                   help="join BPE pieces with this marker (e.g. '@@')")
+    p.add_argument("--detok", action="store_true",
+                   help="rule-based detokenization of hypotheses")
     return p.parse_args(argv)
 
 
@@ -77,20 +82,35 @@ def main(argv=None):
         hyps = decode_batch(model, state.params, batch, tv.itos,
                             beam_size=args.beam_size,
                             max_steps=args.max_time_step, alpha=args.alpha)
+        from gtos_tpu.data.postprocess import postprocess_hypothesis
         for hyp, inst in zip(hyps, group):
-            lines.append(" ".join(hyp))
-            ordered_refs.append(" ".join(inst.target))
+            entity_map = (inst.meta or {}).get("entities") if inst.meta else None
+            lines.append(postprocess_hypothesis(
+                hyp, entity_map=entity_map, bpe_marker=args.bpe_marker,
+                detok=args.detok))
+            ref = inst.target
+            if args.bpe_marker:
+                from gtos_tpu.data.postprocess import join_bpe
+                ref = join_bpe(ref, args.bpe_marker)
+            ordered_refs.append(" ".join(ref))
 
     with open(args.output, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {len(lines)} hypotheses to {args.output}", file=sys.stderr)
 
+    score = None
     if args.eval_bleu:
         import sacrebleu
         bleu = sacrebleu.corpus_bleu(lines, [ordered_refs])
         print(f"BLEU = {bleu.score:.2f}", file=sys.stderr)
-        return bleu.score
-    return None
+        score = bleu.score
+    if args.eval_chrf:
+        import sacrebleu
+        chrf = sacrebleu.corpus_chrf(lines, [ordered_refs])
+        print(f"chrF = {chrf.score:.2f}", file=sys.stderr)
+        if score is None:
+            score = chrf.score
+    return score
 
 
 if __name__ == "__main__":
