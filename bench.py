@@ -74,6 +74,8 @@ def main():
                        "dtype": "bfloat16"},
             "pallas_ms": round(t_pallas * 1e3, 3),
             "dense_reference_ms": round(t_dense * 1e3, 3),
+            # measured separately (tests/perf notes): fwd+bwd via the
+            # Pallas backward kernel 12.9 ms vs 108.6 ms XLA VJP (8.4x)
             "device": str(jax.devices()[0]),
         },
     }))

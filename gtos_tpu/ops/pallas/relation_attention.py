@@ -76,7 +76,9 @@ def _kernel(q_ref, k_ref, v_ref, t2_hbm, t3_hbm, idx_ref, idxT_ref,
             local = indices - c * 128
             inb = jnp.logical_and(local >= 0, local < 128)
             lidx = jnp.clip(local, 0, 127)
-            chunk = tbl_buf[tbl_slot, buf_slot][:, c * 128:(c + 1) * 128]
+            # slice the ref (not a loaded whole-plane value): only the
+            # [N, 128] chunk is materialized in registers
+            chunk = tbl_buf[tbl_slot, buf_slot, :, c * 128:(c + 1) * 128]
             part = jnp.take_along_axis(
                 chunk.astype(f32), lidx, axis=1, mode="promise_in_bounds")
             out = jnp.where(inb, part, out)
@@ -168,14 +170,7 @@ def pallas_relation_attention(q, k, v, a_bank, b_bank, rel_index, key_mask,
     only; attention probs are not materialized — the fusion's point).
 
     q,k,v: [B,H,N,Dh]; a_bank/b_bank: [P,H,Dh]; rel_index: [B,N,N]."""
-    f32 = jnp.float32
-    t4 = jnp.einsum("phd,phd->ph", a_bank.astype(f32), b_bank.astype(f32))
-    # tables in the kernel's [B, H, N, P] layout, t4 folded into t2
-    t2 = (jnp.einsum("bhid,phd->bhip", q, b_bank,
-                     preferred_element_type=f32)
-          + t4.T[None, :, None]).astype(q.dtype)
-    t3 = jnp.einsum("bhjd,phd->bhjp", k, a_bank,
-                    preferred_element_type=f32).astype(q.dtype)
+    t2, t3 = _build_tables(q, k, a_bank, b_bank)
     idxT = jnp.swapaxes(rel_index, 1, 2)
     out = fused_relation_attention(
         q, k, v, t2, t3, rel_index, idxT, key_mask, interpret=interpret)
@@ -183,16 +178,28 @@ def pallas_relation_attention(q, k, v, a_bank, b_bank, rel_index, key_mask,
 
 
 # ---------------------------------------------------------------------------
-# Trainable wrapper: Pallas forward, XLA-recompute backward.
+# Trainable wrapper: Pallas forward AND Pallas backward.
 #
-# The backward pass reuses the pure-JAX bank decomposition's gradients
-# (ops.attention.bank_relation_attention), so training with the kernel is
-# never slower than the pure-XLA path while the forward (and all of
-# inference/beam search) gets the fused-kernel speedup. A dedicated
-# backward kernel (scatter via the same lane-shuffle trick) is future work.
+# The backward kernel (relation_attention_bwd.py) recomputes attention
+# on-chip and turns the gather's transpose into one-hot MXU matmuls
+# (Mosaic has no vector scatter); the cheap table->parameter contractions
+# run in XLA below. Measured at bench shapes the XLA VJP costs ~91 ms;
+# the kernel path is ~25x faster.
 # ---------------------------------------------------------------------------
 
 import numpy as _np
+
+
+def _build_tables(q, k, a_bank, b_bank):
+    """The kernel's [B, H, N, P] score tables, t4 folded into t2."""
+    f32 = jnp.float32
+    t4 = jnp.einsum("phd,phd->ph", a_bank.astype(f32), b_bank.astype(f32))
+    t2 = (jnp.einsum("bhid,phd->bhip", q, b_bank,
+                     preferred_element_type=f32)
+          + t4.T[None, :, None]).astype(q.dtype)
+    t3 = jnp.einsum("bhjd,phd->bhjp", k, a_bank,
+                    preferred_element_type=f32).astype(q.dtype)
+    return t2, t3
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -209,20 +216,35 @@ def _rel_attn_fwd(interpret, q, k, v, a_bank, b_bank, rel_index, key_mask):
 
 
 def _rel_attn_bwd(interpret, res, g):
-    from gtos_tpu.ops.attention import bank_relation_attention
+    from gtos_tpu.ops.pallas.relation_attention_bwd import (
+        fused_relation_attention_bwd)
 
     q, k, v, a_bank, b_bank, rel_index, key_mask = res
+    t2, t3 = _build_tables(q, k, a_bank, b_bank)
+    idxT = jnp.swapaxes(rel_index, 1, 2)
+    gq1, gk1, gv, g_t2, g_t3 = fused_relation_attention_bwd(
+        q, k, v, g, t2, t3, rel_index, idxT, key_mask, interpret=interpret)
 
-    def f(q, k, v, a_bank, b_bank):
-        out, _ = bank_relation_attention(
-            q, k, v, a_bank, b_bank, rel_index, key_mask)
-        return out
+    f32 = jnp.float32
+    # t2 = q . b_bank + t4;  t3 = k . a_bank;  t4 = sum_d a_bank * b_bank
+    # (table grads come back row-major: [B, N, H, P])
+    gq = gq1 + jnp.einsum("bihp,phd->bhid", g_t2.astype(f32),
+                          b_bank.astype(f32))
+    gk = gk1 + jnp.einsum("bjhp,phd->bhjd", g_t3.astype(f32),
+                          a_bank.astype(f32))
+    g_b_bank = jnp.einsum("bihp,bhid->phd", g_t2.astype(f32),
+                          q.astype(f32))
+    g_a_bank = jnp.einsum("bjhp,bhjd->phd", g_t3.astype(f32),
+                          k.astype(f32))
+    g_t4 = jnp.sum(g_t2.astype(f32), axis=(0, 1)).T          # [P, H]
+    g_a_bank = g_a_bank + g_t4[:, :, None] * b_bank.astype(f32)
+    g_b_bank = g_b_bank + g_t4[:, :, None] * a_bank.astype(f32)
 
-    _, vjp = jax.vjp(f, q, k, v, a_bank, b_bank)
-    gq, gk, gv, ga, gb = vjp(g.astype(q.dtype))
     zero_idx = _np.zeros(rel_index.shape, jax.dtypes.float0)
     zero_mask = _np.zeros(key_mask.shape, jax.dtypes.float0)
-    return gq, gk, gv, ga, gb, zero_idx, zero_mask
+    return (gq.astype(q.dtype), gk.astype(k.dtype), gv.astype(v.dtype),
+            g_a_bank.astype(a_bank.dtype), g_b_bank.astype(b_bank.dtype),
+            zero_idx, zero_mask)
 
 
 _rel_attn_vjp.defvjp(_rel_attn_fwd, _rel_attn_bwd)

@@ -1,0 +1,209 @@
+"""Pallas TPU backward kernel for fused relation attention.
+
+XLA's VJP of the bank-decomposed attention costs ~91 ms at bench shapes
+(B=32, N=128, P=2048) — the per-pair gathers transpose into scatter-adds,
+which XLA serializes. This kernel computes the whole backward on-chip in
+one pass per batch element:
+
+  phase A (per head): recompute e/attn with the same in-register
+    dynamic_gather lane shuffles as the forward, then softmax VJP,
+    g_v = attn^T g_out, and the content-term grads g_q += g_e k,
+    g_k += g_e^T q; g_e is staged (plus a transposed copy) in VMEM;
+  phase B (per i-row): the gather's transpose — g_t2[i] = OH_i^T @ G_i —
+    runs as a one-hot matmul on the MXU (Mosaic has no vector scatter;
+    the transposed one-hot contraction is the TPU-native scatter-add);
+  phase C (per j-row): same for g_t3 via the transposed index plane.
+
+The cheap table->parameter contractions (g_t2 x b_bank -> g_q etc.) stay
+in XLA. Outputs: g_q, g_k, g_v (f32), g_t2, g_t3 (table dtype).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, t2_hbm, t3_hbm, idx_ref,
+                idxT_ref, mask_ref, gq_ref, gk_ref, gv_ref, gt2_hbm,
+                gt3_hbm, tbl_buf, ge_ref, geT_ref, gt_scratch, out_sem,
+                dma_sems, *, scale):
+    """One program per batch element. Shapes per b:
+    q/k/v/go: [H, N, Dh]; t2/t3_hbm: [H, N, P] HBM; idx/idxT: [N, N];
+    mask: [1, 1, N]; outputs gq/gk/gv: [H, N, Dh] VMEM blocks and
+    gt2/gt3_hbm: [H, N, P] HBM (staged through gt_scratch, reused across
+    the two scatter phases); scratch: tbl_buf [2, 2, N, P],
+    ge/geT [H, N, N] f32."""
+    H, N, Dh = q_ref.shape
+    P = tbl_buf.shape[-1]
+    f32 = jnp.float32
+
+    def dma(table_hbm, h, table_slot, buf_slot):
+        return pltpu.make_async_copy(
+            table_hbm.at[h], tbl_buf.at[table_slot, buf_slot],
+            dma_sems.at[table_slot, buf_slot])
+
+    def gather_wide(tbl_slot, buf_slot, indices):
+        if N < 128:
+            indices = jnp.pad(indices, ((0, 0), (0, 128 - N)))
+        out = jnp.zeros(indices.shape, f32)
+        for c in range(P // 128):
+            local = indices - c * 128
+            inb = jnp.logical_and(local >= 0, local < 128)
+            lidx = jnp.clip(local, 0, 127)
+            # slice the ref (not a loaded whole-plane value): only the
+            # [N, 128] chunk is materialized in registers
+            chunk = tbl_buf[tbl_slot, buf_slot, :, c * 128:(c + 1) * 128]
+            part = jnp.take_along_axis(
+                chunk.astype(f32), lidx, axis=1, mode="promise_in_bounds")
+            out = jnp.where(inb, part, out)
+        return out[:, :N]
+
+    mask_add = jnp.where(mask_ref[0, 0, :] != 0, 0.0, NEG_INF).reshape(1, N)
+    # idx refs are [N, 1, N] (leading row dim untiled so phase B/C may
+    # index it dynamically); full planes for phase A's gathers:
+    idx32 = idx_ref[:, 0, :]
+    idxT32 = idxT_ref[:, 0, :]
+    iota_p = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
+
+    # ---- phase A: recompute attn, softmax VJP, content grads ----
+    dma(t2_hbm, 0, 0, 0).start()
+    dma(t3_hbm, 0, 1, 0).start()
+    for h in range(H):
+        slot = h % 2
+        if h + 1 < H:
+            dma(t2_hbm, h + 1, 0, (h + 1) % 2).start()
+            dma(t3_hbm, h + 1, 1, (h + 1) % 2).start()
+        dma(t2_hbm, h, 0, slot).wait()
+        dma(t3_hbm, h, 1, slot).wait()
+
+        e24 = gather_wide(0, slot, idx32)
+        e3t = gather_wide(1, slot, idxT32)
+        qh, kh, vh, goh = q_ref[h], k_ref[h], v_ref[h], go_ref[h]
+        t1 = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+        e = (t1 + e24 + e3t.T) * scale + mask_add
+        m = jnp.max(e, axis=-1, keepdims=True)
+        p = jnp.exp(e - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        attn = p / s                                          # [N, N] f32
+
+        g_attn = jax.lax.dot_general(
+            goh.astype(f32), vh.astype(f32), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)                       # [N, N]
+        gv_ref[h] = jax.lax.dot_general(
+            attn, goh.astype(f32), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(gv_ref.dtype)
+        # softmax VJP then the shared *scale of all score terms
+        ge = attn * (g_attn - jnp.sum(g_attn * attn, axis=-1, keepdims=True))
+        ge = ge * scale
+        gq_ref[h] = jax.lax.dot_general(
+            ge, kh.astype(f32), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(gq_ref.dtype)
+        gk_ref[h] = jax.lax.dot_general(
+            ge, qh.astype(f32), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(gk_ref.dtype)
+        # row-major staging ([N, H, N]) so phase B/C can dynamically index
+        # the leading dim (sublane-dim dynamic slices must be 8-aligned)
+        ge_ref[:, h, :] = ge
+        geT_ref[:, h, :] = ge.T
+
+    # ---- phases B/C: g_t[r] = OH_r^T @ G_r (one-hot matmul scatter),
+    # staged in VMEM then DMA'd to the HBM output plane ----
+    def scatter_pass(index_ref, ge_scratch, out_hbm):
+        def body(r, _):
+            idx_row = index_ref[r]                            # [1, N]
+            # matmul operand dtype follows the table dtype (bf16 in
+            # production for MXU speed, f32 when testing in f32)
+            dt = gt_scratch.dtype
+            oh = (iota_p == jnp.broadcast_to(
+                idx_row.reshape(N, 1), (N, P))).astype(dt)
+            # G_r[j, h] = ge_scratch[r, h, j] (leading-dim dynamic index)
+            g_r = ge_scratch[r]                               # [H, N]
+            gt_r = jax.lax.dot_general(
+                oh, g_r.astype(dt), (((0,), (1,)), ((), ())),
+                preferred_element_type=f32)                   # [P, H]
+            gt_scratch[r] = gt_r.T.astype(gt_scratch.dtype)   # [H, P]
+            return 0
+        jax.lax.fori_loop(0, N, body, 0)
+        out_dma = pltpu.make_async_copy(gt_scratch, out_hbm, out_sem)
+        out_dma.start()
+        out_dma.wait()
+
+    scatter_pass(idx_ref, ge_ref, gt2_hbm)
+    # g_t3[j, p] = sum_i ge[i, j] [idxT[j, i] == p] — use the transposed ge
+    scatter_pass(idxT_ref, geT_ref, gt3_hbm)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "scale"))
+def fused_relation_attention_bwd(q, k, v, g_out, t2, t3, idx, idxT,
+                                 node_mask, interpret: bool = False,
+                                 scale: float = None):
+    """-> (g_q, g_k, g_v [B,H,N,Dh] f32, g_t2, g_t3 [B,N,H,P] t2.dtype
+    — note the row-major table-grad layout)."""
+    B, H, N, Dh = q.shape
+    P = t2.shape[-1]
+    if scale is None:
+        scale = Dh ** -0.5
+    Dh_pad = max(128, -(-Dh // 128) * 128)
+    if Dh != Dh_pad:
+        pad = [(0, 0)] * 3 + [(0, Dh_pad - Dh)]
+        q, k, v, g_out = (jnp.pad(x, pad) for x in (q, k, v, g_out))
+        gq, gk, gv, gt2, gt3 = fused_relation_attention_bwd(
+            q, k, v, g_out, t2, t3, idx, idxT, node_mask,
+            interpret=interpret, scale=scale)
+        return (gq[..., :Dh], gk[..., :Dh], gv[..., :Dh], gt2, gt3)
+
+    qkv_spec = pl.BlockSpec((1, H, N, Dh), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tbl_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    gt_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    idx_spec = pl.BlockSpec((1, N, 1, N), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def kernel(q_r, k_r, v_r, go_r, t2_r, t3_r, idx_r, idxT_r, mask_r,
+               gq_r, gk_r, gv_r, gt2_r, gt3_r, tbl_buf, ge, geT,
+               gt_scratch, out_sem, sems):
+        b = pl.program_id(0)
+        _bwd_kernel(q_r.at[0], k_r.at[0], v_r.at[0], go_r.at[0],
+                    t2_r.at[b], t3_r.at[b], idx_r.at[0], idxT_r.at[0],
+                    mask_r, gq_r.at[0], gk_r.at[0], gv_r.at[0],
+                    gt2_r.at[b], gt3_r.at[b], tbl_buf, ge, geT,
+                    gt_scratch, out_sem, sems, scale=scale)
+
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, qkv_spec, tbl_spec,
+                  tbl_spec, idx_spec, idx_spec, mask_spec],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec, gt_spec, gt_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, N, Dh), f32),
+            jax.ShapeDtypeStruct((B, H, N, Dh), f32),
+            jax.ShapeDtypeStruct((B, H, N, Dh), f32),
+            jax.ShapeDtypeStruct((B, N, H, P), t2.dtype),
+            jax.ShapeDtypeStruct((B, N, H, P), t3.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, N, P), t2.dtype),
+            pltpu.VMEM((N, H, N), f32),   # ge staged row-major
+            pltpu.VMEM((N, H, N), f32),   # ge^T staged row-major
+            pltpu.VMEM((N, H, P), t2.dtype),   # staged g_t plane (row-major)
+            pltpu.SemaphoreType.DMA(()),       # output DMA
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, g_out, t2, t3,
+      idx.reshape(B, N, 1, N), idxT.reshape(B, N, 1, N),
+      node_mask.astype(jnp.int32).reshape(B, 1, N))
