@@ -124,16 +124,18 @@ class DataLoader:
             rng.shuffle(batches)
         return batches
 
-    def __iter__(self) -> Iterator[GraphBatch]:
-        self.epoch += 1
-        for group in self._plan_batches():
-            # Pad batch dim to a power of two (shape stability), then to the
-            # mesh multiple (DP divisibility).
-            bsz = 1
-            while bsz < len(group):
-                bsz *= 2
-            m = self.batch_multiple
-            bsz = ((bsz + m - 1) // m) * m
+    def _emit(self, group) -> Iterator[GraphBatch]:
+        """Batchify a group; if its relation bank overflows the bucket cap
+        (possible for batches of many large, path-diverse graphs), bisect
+        until it fits."""
+        # Pad batch dim to a power of two (shape stability), then to the
+        # mesh multiple (DP divisibility).
+        bsz = 1
+        while bsz < len(group):
+            bsz *= 2
+        m = self.batch_multiple
+        bsz = ((bsz + m - 1) // m) * m
+        try:
             yield batchify(
                 group,
                 self.vocabs["token"], self.vocabs["concept"],
@@ -141,6 +143,18 @@ class DataLoader:
                 self.lexical_map, spec=self.spec,
                 batch_size_bucket=bsz, for_train=self.for_train,
             )
+        except AssertionError:
+            if len(group) == 1:
+                raise  # a single instance exceeding the bank cap is a
+                # data/config problem, not a batching problem
+            mid = len(group) // 2
+            yield from self._emit(group[:mid])
+            yield from self._emit(group[mid:])
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        self.epoch += 1
+        for group in self._plan_batches():
+            yield from self._emit(group)
 
     def __len__(self) -> int:
         return len(self._plan_batches())

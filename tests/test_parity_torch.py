@@ -71,3 +71,60 @@ def test_char_cnn_matches_torch():
                         vocab, cd, nf, widths, out)
     theirs = twin(chars)
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_decoder_layer_matches_torch():
+    import jax.numpy as jnp
+    from gtos_tpu.models.decoder import DecoderLayer
+    from torch_twin import TorchDecoderLayer
+
+    d_model, heads = 32, 4
+    B, T, N = 2, 6, 5
+    m = DecoderLayer(d_model, d_ff=64, heads=heads, dropout=0.0)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((B, T, d_model)).astype(np.float32)
+    mem = rng.standard_normal((B, N, d_model)).astype(np.float32)
+    mem_mask = np.ones((B, N), dtype=bool)
+    mem_mask[0, 3:] = False
+    smask = jnp.tril(jnp.ones((T, T), dtype=bool))[None, None]
+    params = m.init(jax.random.PRNGKey(0), jnp.array(x), jnp.array(mem),
+                    jnp.array(mem_mask), smask)
+    ours, ours_probs = m.apply(params, jnp.array(x), jnp.array(mem),
+                               jnp.array(mem_mask), smask)
+    twin = TorchDecoderLayer(jax.tree_util.tree_map(np.asarray, params),
+                             d_model, heads)
+    theirs, theirs_probs = twin(x, mem, mem_mask)
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours_probs), theirs_probs,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_copy_mix_matches_torch():
+    """The extended-vocab copy mixture scatter == torch scatter_add_."""
+    import jax.numpy as jnp
+    from torch_twin import torch_copy_mix
+    from gtos_tpu.models.generator import _scatter_add_last
+
+    rng = np.random.default_rng(4)
+    B, T, V, N, EXT = 2, 4, 10, 6, 14
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    align = rng.random((B, T, 3, N)).astype(np.float32)
+    align = align / align.sum(-1, keepdims=True)
+    gate = rng.standard_normal((B, T, 1)).astype(np.float32)
+    cp_seq = rng.integers(0, EXT, (B, N)).astype(np.int32)
+    copy_mask = np.ones((B, N), dtype=bool)
+    copy_mask[:, 0] = False
+
+    # jax version of the same mixture (mirrors Generator.ext_log_probs)
+    p_vocab = jax.nn.softmax(jnp.array(logits), axis=-1)
+    alpha = jnp.mean(jnp.array(align), axis=-2)
+    alpha = jnp.where(jnp.array(copy_mask)[:, None, :], alpha, 0.0)
+    alpha = alpha / (alpha.sum(-1, keepdims=True) + 1e-9)
+    g = jax.nn.sigmoid(jnp.array(gate))
+    ext = jnp.zeros((B, T, EXT)).at[..., :V].set(g * p_vocab)
+    cp = jnp.broadcast_to(jnp.array(cp_seq)[:, None, :], alpha.shape)
+    ext = _scatter_add_last(ext, cp, (1 - g) * alpha)
+    ours = np.asarray(jnp.log(ext + 1e-9))
+
+    theirs = torch_copy_mix(logits, align, gate, cp_seq, copy_mask, EXT)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)

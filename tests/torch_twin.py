@@ -149,3 +149,87 @@ class TorchCharCNN(torch.nn.Module):
         h[~pad.any(dim=1)] = 0.0
         out = self.proj(h)
         return out.view(B, N, -1).numpy()
+
+
+class TorchDecoderLayer(torch.nn.Module):
+    """Causal self-attn + cross-attn + FFN with post-LN residuals, matching
+    gtos_tpu DecoderLayer (weights loaded from the flax params)."""
+
+    def __init__(self, flax_params: dict, d_model: int, heads: int):
+        super().__init__()
+        p = flax_params["params"]
+        self.d_model, self.heads = d_model, heads
+
+        def lin(mod, name):
+            sub = p[mod][name]
+            l = torch.nn.Linear(*reversed(np.asarray(sub["kernel"]).shape))
+            l.weight.data = _t(sub["kernel"]).T
+            l.bias.data = _t(sub["bias"])
+            return l
+
+        def ln(mod):
+            sub = p[mod]["ln"]
+            l = torch.nn.LayerNorm(d_model)
+            l.weight.data = _t(sub["scale"])
+            l.bias.data = _t(sub["bias"])
+            return l
+
+        self.sq, self.sk, self.sv, self.so = (
+            lin("self_attn", n) for n in ("q_proj", "k_proj", "v_proj", "out_proj"))
+        self.cq, self.ck, self.cv, self.co = (
+            lin("cross_attn", n) for n in ("q_proj", "k_proj", "v_proj", "out_proj"))
+        self.fc1 = lin("ffn", "fc1")
+        self.fc2 = lin("ffn", "fc2")
+        self.ln_self = ln("self_res")
+        self.ln_cross = ln("cross_res")
+        self.ln_ffn = ln("ffn_res")
+
+    def _attend(self, q, k, v, mask=None):
+        B, Tq, D = q.shape
+        Tk = k.shape[1]
+        H, Dh = self.heads, D // self.heads
+        qh = q.view(B, Tq, H, Dh).transpose(1, 2)
+        kh = k.view(B, Tk, H, Dh).transpose(1, 2)
+        vh = v.view(B, Tk, H, Dh).transpose(1, 2)
+        scores = qh @ kh.transpose(-1, -2) * (Dh ** -0.5)
+        if mask is not None:
+            scores = scores.masked_fill(~mask, -1e9)
+        probs = torch.softmax(scores, dim=-1)
+        out = (probs @ vh).transpose(1, 2).reshape(B, Tq, D)
+        return out, probs
+
+    @torch.no_grad()
+    def forward(self, x, mem, mem_mask) -> np.ndarray:
+        x = _t(x)
+        mem = _t(mem)
+        mem_mask = torch.from_numpy(np.asarray(mem_mask))
+        B, T, D = x.shape
+        causal = torch.tril(torch.ones(T, T, dtype=torch.bool))[None, None]
+        sa, _ = self._attend(self.sq(x), self.sk(x), self.sv(x), causal)
+        x = self.ln_self(x + self.so(sa))
+        ca, probs = self._attend(self.cq(x), self.ck(mem), self.cv(mem),
+                                 mem_mask[:, None, None, :])
+        x = self.ln_cross(x + self.co(ca))
+        ff = self.fc2(torch.relu(self.fc1(x)))
+        x = self.ln_ffn(x + ff)
+        return x.numpy(), probs.numpy()
+
+
+def torch_copy_mix(logits, align_probs, gate_logit, cp_seq, copy_mask,
+                   ext_vocab: int) -> np.ndarray:
+    """Reference copy mixture: P = g*softmax(logits) + (1-g)*scatter(alpha),
+    alpha = head-mean cross-attn masked to copyable nodes, renormalized."""
+    logits = _t(logits)
+    alpha = _t(align_probs).mean(-2)
+    cm = torch.from_numpy(np.asarray(copy_mask))
+    cp = torch.from_numpy(np.asarray(cp_seq, dtype=np.int64))
+    alpha = alpha.masked_fill(~cm[:, None, :], 0.0)
+    alpha = alpha / (alpha.sum(-1, keepdim=True) + 1e-9)
+    g = torch.sigmoid(_t(gate_logit))
+    p_vocab = torch.softmax(logits, dim=-1)
+    B, T, V = p_vocab.shape
+    ext = torch.zeros(B, T, ext_vocab)
+    ext[..., :V] = g * p_vocab
+    ext.scatter_add_(2, cp[:, None, :].expand(B, T, cp.shape[1]),
+                     (1 - g) * alpha)
+    return torch.log(ext + 1e-9).numpy()
