@@ -40,6 +40,7 @@ class Instance:
     pair_paths: List[List[Tuple[str, ...]]]
     target: List[str]
     meta: Optional[dict] = None
+    orig_index: int = -1  # position in the source corpus (output ordering)
 
 
 @dataclasses.dataclass(frozen=True)

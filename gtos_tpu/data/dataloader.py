@@ -37,12 +37,12 @@ def preprocess(
         from gtos_tpu.graph.paths import pack_relation_paths as _pack
 
     out: List[Instance] = []
-    for g, tgt in zip(graphs, targets):
+    for i, (g, tgt) in enumerate(zip(graphs, targets)):
         if max_nodes is not None and g.num_nodes + 1 > max_nodes:
             continue
         out.append(Instance(concepts=list(g.nodes),
                             pair_paths=_pack(g, path_cfg),
-                            target=list(tgt), meta=g.meta))
+                            target=list(tgt), meta=g.meta, orig_index=i))
     return out
 
 

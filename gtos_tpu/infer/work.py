@@ -69,10 +69,11 @@ def main(argv=None):
     assert state is not None, f"no checkpoint found in {args.ckpt_dir}"
     print(f"restored step {int(state.step)}", file=sys.stderr)
 
-    # decode batch groups in plan order; references follow the same order
-    # (for_train=False keeps the plan deterministic)
-    lines, ordered_refs = [], []
+    # decode batch groups in plan order, then restore source-corpus order
+    # for the output file (the reference's work.py contract)
     from gtos_tpu.data import batchify
+    from gtos_tpu.data.postprocess import join_bpe, postprocess_hypothesis
+    results = []  # (orig_index, hypothesis line, reference line)
     for group in dl._plan_batches():
         bsz = 1
         while bsz < len(group):
@@ -82,17 +83,19 @@ def main(argv=None):
         hyps = decode_batch(model, state.params, batch, tv.itos,
                             beam_size=args.beam_size,
                             max_steps=args.max_time_step, alpha=args.alpha)
-        from gtos_tpu.data.postprocess import postprocess_hypothesis
         for hyp, inst in zip(hyps, group):
             entity_map = (inst.meta or {}).get("entities") if inst.meta else None
-            lines.append(postprocess_hypothesis(
+            line = postprocess_hypothesis(
                 hyp, entity_map=entity_map, bpe_marker=args.bpe_marker,
-                detok=args.detok))
+                detok=args.detok)
             ref = inst.target
             if args.bpe_marker:
-                from gtos_tpu.data.postprocess import join_bpe
                 ref = join_bpe(ref, args.bpe_marker)
-            ordered_refs.append(" ".join(ref))
+            results.append((inst.orig_index, line, " ".join(ref)))
+
+    results.sort(key=lambda r: r[0])
+    lines = [r[1] for r in results]
+    ordered_refs = [r[2] for r in results]
 
     with open(args.output, "w") as f:
         f.write("\n".join(lines) + "\n")
