@@ -22,18 +22,29 @@ from gtos_tpu.train.trainer import TrainState
 
 
 def make_sharded_train_step(model: Generator, tx, mesh: Mesh,
-                            example_arrays: Dict) -> Callable:
-    """Returns train_step(state, arrays) with DP shardings baked in.
+                            example_arrays: Dict,
+                            example_state=None) -> Callable:
+    """Returns train_step(state, arrays) with DP (+ optional TP) shardings
+    baked in.
 
     `example_arrays` fixes the input layout (shardings are per-name, not
-    per-shape, so any bucket signature works)."""
+    per-shape, so any bucket signature works). When `example_state` is given
+    and the mesh has a non-trivial 'model' axis, parameters and optimizer
+    moments are tensor-parallel-sharded per
+    gtos_tpu.parallel.tensor_parallel's rules; pass the state through
+    shard_state(mesh, state) before the first step."""
     rep = replicate(mesh)
+    if example_state is not None and mesh.shape.get("model", 1) > 1:
+        from gtos_tpu.parallel.tensor_parallel import state_shardings
+        state_sh = state_shardings(mesh, example_state)
+    else:
+        state_sh = rep
     arr_sh = arrays_shardings(mesh, example_arrays)
 
     @functools.partial(
         jax.jit,
-        in_shardings=(rep, arr_sh),
-        out_shardings=(rep, rep),
+        in_shardings=(state_sh, arr_sh),
+        out_shardings=(state_sh, rep),
         donate_argnums=(0,),
     )
     def train_step(state: TrainState, arrays):

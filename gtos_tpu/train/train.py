@@ -74,6 +74,9 @@ def parse_args(argv=None):
     # parallelism
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel mesh size (0 = no mesh, single device)")
+    p.add_argument("--mp", type=int, default=1,
+                   help="tensor-parallel mesh size (shards attention/FFN "
+                        "projections over the 'model' axis)")
     p.add_argument("--coordinator", help="multi-host coordinator address")
     p.add_argument("--num_hosts", type=int, default=1)
     p.add_argument("--host_id", type=int, default=0)
@@ -170,9 +173,9 @@ def main(argv=None):
     )
 
     mesh = None
-    if args.dp:
+    if args.dp or args.mp > 1:
         from gtos_tpu.parallel import make_mesh
-        mesh = make_mesh(dp=args.dp)
+        mesh = make_mesh(dp=args.dp or None, mp=args.mp)
 
     instances = preprocess(graphs, targets, path_cfg)
     dev_instances = preprocess(dev_graphs, dev_targets, path_cfg)

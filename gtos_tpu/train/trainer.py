@@ -109,7 +109,11 @@ class Trainer:
         if mesh is not None:
             from gtos_tpu.parallel.train import make_sharded_train_step
             self.train_step = make_sharded_train_step(
-                model, self.tx, mesh, example_arrays)
+                model, self.tx, mesh, example_arrays,
+                example_state=self.state)
+            if mesh.shape.get("model", 1) > 1:
+                from gtos_tpu.parallel.tensor_parallel import shard_state
+                self.state = shard_state(mesh, self.state)
         else:
             self.train_step = make_train_step(model, self.tx)
         self.eval_step = make_eval_step(model)
