@@ -13,55 +13,78 @@ vs_baseline compares against the reference's computation strategy (dense
 materialization of per-pair relation projections, as jcyk/gtos's
 RelationMultiheadAttention does — SURVEY.md §3.4) executed by XLA on the
 same chip: value / baseline (higher is better).
+
+Measurement protocol (the tunneled-TPU backend makes naive timing lie):
+  * every operand is a jit ARGUMENT — closure-captured constants are
+    re-shipped to the device per dispatch (~38 ms for these 50 MB);
+  * completion is forced by a device->host READBACK of the result —
+    block_until_ready can return before remote execution finishes;
+  * the per-pass cost is the MARGINAL slope (T(hi_iters) - T(lo_iters)) /
+    (hi - lo) of an on-device fori_loop, which cancels the fixed RPC +
+    readback overhead (~60 ms) out of the estimate.
 """
 
+import functools
 import json
-import sys
+import time
 
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 from gtos_tpu.ops.attention import (  # noqa: E402
     dense_relation_scores_reference, masked_softmax,
 )
 from gtos_tpu.ops.pallas import pallas_relation_attention  # noqa: E402
-from gtos_tpu.utils.benchlib import attention_inputs, time_fn  # noqa: E402
+from gtos_tpu.utils.benchlib import attention_inputs  # noqa: E402
 
 B, H, N, Dh, P = 32, 8, 128, 64, 2048
-ITERS = 50
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "mode"))
+def _loop(q, k, v, a_bank, b_bank, idx, mask, iters, mode):
+    def body(i, q):
+        if mode == "pallas":
+            out, _ = pallas_relation_attention(
+                q, k, v, a_bank, b_bank, idx, mask)
+        else:
+            e = dense_relation_scores_reference(q, k, a_bank, b_bank, idx)
+            attn = masked_softmax(e, mask)
+            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+        return q + (1e-6 * out.sum()).astype(q.dtype)
+
+    return jax.lax.fori_loop(0, iters, body, q)
+
+
+def marginal_s_per_iter(args, mode, lo, hi, calls=3):
+    """Marginal seconds per loop iteration via two-point slope."""
+    q = args[0]
+
+    def run(iters):
+        # compile + complete once
+        np.asarray(_loop(*args, iters=iters, mode=mode))
+        t0 = time.perf_counter()
+        r = q
+        for _ in range(calls):
+            r = _loop(r, *args[1:], iters=iters, mode=mode)
+        np.asarray(r)  # readback forces completion
+        return (time.perf_counter() - t0) / calls
+
+    t_lo, t_hi = run(lo), run(hi)
+    return max(t_hi - t_lo, 1e-9) / (hi - lo)
 
 
 def main():
-    q, k, v, a_bank, b_bank, idx, mask = attention_inputs(
+    args = attention_inputs(
         jax.random.PRNGKey(0), B, H, N, Dh, P, jnp.bfloat16)
 
-    def dense_ref_full(q):
-        e = dense_relation_scores_reference(q, k, a_bank, b_bank, idx)
-        attn = masked_softmax(e, mask)
-        return jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
-
-    @jax.jit
-    def loop_pallas(q):
-        def body(i, q):
-            out, _ = pallas_relation_attention(
-                q, k, v, a_bank, b_bank, idx, mask)
-            return q + (1e-6 * out.sum()).astype(q.dtype)
-        return jax.lax.fori_loop(0, ITERS, body, q)
-
-    @jax.jit
-    def loop_dense(q):
-        def body(i, q):
-            out = dense_ref_full(q)
-            return q + (1e-6 * out.sum()).astype(q.dtype)
-        return jax.lax.fori_loop(0, ITERS, body, q)
+    t_pallas = marginal_s_per_iter(args, "pallas", lo=40, hi=240)
+    t_dense = marginal_s_per_iter(args, "dense", lo=10, hi=60)
 
     edges = B * N * N
-    t_pallas = time_fn(loop_pallas, q, iters=5, warmup=2) / ITERS
-    t_dense = time_fn(loop_dense, q, iters=3, warmup=1) / ITERS
-
     value = edges / t_pallas
     baseline = edges / t_dense
     print(json.dumps({
@@ -74,8 +97,7 @@ def main():
                        "dtype": "bfloat16"},
             "pallas_ms": round(t_pallas * 1e3, 3),
             "dense_reference_ms": round(t_dense * 1e3, 3),
-            # measured separately (tests/perf notes): fwd+bwd via the
-            # Pallas backward kernel 12.9 ms vs 108.6 ms XLA VJP (8.4x)
+            "protocol": "marginal fori_loop slope, readback-fenced",
             "device": str(jax.devices()[0]),
         },
     }))

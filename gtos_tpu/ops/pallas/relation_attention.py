@@ -57,31 +57,35 @@ def _kernel(q_ref, k_ref, v_ref, t2_hbm, t3_hbm, idx_ref, idxT_ref,
             dma_sems.at[table_slot, buf_slot],
         )
 
-    mask_add = jnp.where(mask_ref[0, 0, :] != 0, 0.0, NEG_INF).reshape(1, N)
-    idx32 = idx_ref[:, :]
-    idxT32 = idxT_ref[:, :]
+    # index/mask blocks arrive lane-padded (minor dim a multiple of 128)
+    mask_row = mask_ref[0, 0, :]
+    mask_add = jnp.where(mask_row != 0, 0.0, NEG_INF).reshape(1, -1)[:, :N]
 
-    def gather_wide(tbl_slot, buf_slot, indices):
+    def split_bits(indices):
+        """(chunk id, lane-within-chunk) — computed ONCE, reused by every
+        head's gathers (the indices are head-invariant)."""
+        return indices >> 7, jnp.bitwise_and(indices, 127)
+
+    hi, lo = split_bits(idx_ref[:, :])
+    hiT, loT = split_bits(idxT_ref[:, :])
+
+    def gather_wide(tbl_slot, buf_slot, hi, lo):
         """out[r, c] = table[r, indices[r, c]] for a [N, P] table.
 
         The TPU's dynamic_gather is a within-vreg lane shuffle (gather dim
         <= 128), so the P-wide lookup decomposes into P/128 chunk shuffles
-        selected by the indices' high bits — all in registers. The indices
-        array must match the chunk's [N, 128] shape, so for N < 128 it is
-        zero-padded on the right and the result sliced back."""
-        if N < 128:
-            indices = jnp.pad(indices, ((0, 0), (0, 128 - N)))
-        out = jnp.zeros(indices.shape, f32)
+        selected by the indices' high bits. hi/lo are precomputed once for
+        all heads, so the per-chunk work is one widen, one shuffle, one
+        compare, one select. (Mosaic's dynamic_gather requires index and
+        data bitwidths to match, so the shuffle itself runs in f32.)"""
+        out = jnp.zeros(hi.shape, f32)
         for c in range(P // 128):
-            local = indices - c * 128
-            inb = jnp.logical_and(local >= 0, local < 128)
-            lidx = jnp.clip(local, 0, 127)
             # slice the ref (not a loaded whole-plane value): only the
             # [N, 128] chunk is materialized in registers
             chunk = tbl_buf[tbl_slot, buf_slot, :, c * 128:(c + 1) * 128]
             part = jnp.take_along_axis(
-                chunk.astype(f32), lidx, axis=1, mode="promise_in_bounds")
-            out = jnp.where(inb, part, out)
+                chunk.astype(f32), lo, axis=1, mode="promise_in_bounds")
+            out = jnp.where(hi == c, part, out)
         return out[:, :N]
 
     dma(t2_hbm, 0, 0, 0).start()
@@ -96,12 +100,13 @@ def _kernel(q_ref, k_ref, v_ref, t2_hbm, t3_hbm, idx_ref, idxT_ref,
         dma(t3_hbm, h, 1, slot).wait()
 
         # e24[i, j] = t2[h, i, idx[i, j]]
-        e24 = gather_wide(0, slot, idx32)
+        e24 = gather_wide(0, slot, hi, lo)
         # e3t[j, i] = t3[h, j, idx[i, j]]
-        e3t = gather_wide(1, slot, idxT32)
+        e3t = gather_wide(1, slot, hiT, loT)
         t1 = jax.lax.dot_general(
             q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT)
         e = (t1 + e24 + e3t.T) * scale + mask_add
         m = jnp.max(e, axis=-1, keepdims=True)
         p = jnp.exp(e - m)
@@ -109,7 +114,8 @@ def _kernel(q_ref, k_ref, v_ref, t2_hbm, t3_hbm, idx_ref, idxT_ref,
         attn = (p / s).astype(v_ref.dtype)
         out_ref[h] = jax.lax.dot_general(
             attn, v_ref[h], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32).astype(out_ref.dtype)
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "scale"))
@@ -131,14 +137,21 @@ def fused_relation_attention(q, k, v, t2, t3, idx, idxT, node_mask,
             q, k, v, t2, t3, idx, idxT, node_mask, interpret=interpret,
             scale=scale)
         return out[..., :Dh]
+    # lane-align the index/mask minor dims (see inline wrapper)
+    Nc = -(-N // 128) * 128
+    idx = jnp.pad(idx, [(0, 0), (0, 0), (0, Nc - N)])
+    idxT = jnp.pad(idxT, [(0, 0), (0, 0), (0, Nc - N)])
+    mask_p = jnp.pad(node_mask.astype(jnp.int32).reshape(B, 1, N),
+                     [(0, 0), (0, 0), (0, Nc - N)])
+
     grid = (B,)
     qkv_spec = pl.BlockSpec((1, H, N, Dh), lambda b: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     # HBM-resident tables: full array, sliced by program id inside the kernel
     tbl_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    idx_spec = pl.BlockSpec((1, N, N), lambda b: (b, 0, 0),
+    idx_spec = pl.BlockSpec((1, N, Nc), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+    mask_spec = pl.BlockSpec((1, 1, Nc), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
 
     def kernel(q_r, k_r, v_r, t2_r, t3_r, idx_r, idxT_r, mask_r, out_r,
@@ -160,8 +173,166 @@ def fused_relation_attention(q, k, v, t2, t3, idx, idxT, node_mask,
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(q, k, v, t2, t3, idx, idxT,
-      node_mask.astype(jnp.int32).reshape(B, 1, N))
+    )(q, k, v, t2, t3, idx, idxT, mask_p)
+
+
+# ---------------------------------------------------------------------------
+# Inline-table kernel: the score tables never exist in HBM.
+#
+# The table-based kernel above is bounded by the [B, H, N, P] tables' HBM
+# round trip (~270 MB written by the XLA einsum + ~270 MB DMA'd back in, at
+# bench shapes). But the tables are rank-deficient: every row is a product
+# with the [P, H, Dh] banks (8 MB). This kernel keeps both banks resident
+# in VMEM (constant-index blocks, fetched once for the whole grid) and
+# computes each 128-row table chunk on the MXU right before gathering from
+# it — the t2/t3 matmul FLOPs are ~90 us of MXU time against ~660 us of
+# avoided HBM traffic. The t4 (relation-relation) term rides along free:
+# the head-dim padding lane Dh carries 1.0 in q and t4[p, h] in b_bank, so
+# the same matmul emits q.b + t4.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_inline(q_ref, k_ref, v_ref, ab_ref, bb_ref, idx_ref, idxT_ref,
+                   mask_ref, out_ref, *, scale):
+    """One program per batch element. q/k/v_ref: [H, N, Dh_pad] VMEM;
+    ab/bb_ref: [H, P, Dh_pad] VMEM (grid-resident); idx/idxT: [N, N]."""
+    H, N, Dh = q_ref.shape
+    P = ab_ref.shape[1]
+    f32 = jnp.float32
+
+    # the index/mask blocks arrive lane-padded ([N, Nc]/[1, 1, Nc] with Nc
+    # a multiple of 128) — Mosaic requires 128-aligned minor dims on VMEM
+    # blocks; the padded columns gather garbage that is sliced off below
+    mask_row = mask_ref[0, 0, :]
+    mask_add = jnp.where(mask_row != 0, 0.0, NEG_INF).reshape(1, -1)[:, :N]
+
+    def split_bits(indices):
+        return indices >> 7, jnp.bitwise_and(indices, 127)
+
+    hi, lo = split_bits(idx_ref[:, :])
+    hiT, loT = split_bits(idxT_ref[:, :])
+    gshape = hi.shape
+
+    for h in range(H):
+        qh, kh = q_ref[h], k_ref[h]
+        e24 = jnp.zeros(gshape, f32)
+        e3t = jnp.zeros(gshape, f32)
+        for c in range(P // 128):
+            # 128-row table chunks, MXU-built from the resident banks:
+            #   t2c[i, p] = q_i . b_bank[p] (+ t4[p] via the aug lane)
+            #   t3c[j, p] = k_j . a_bank[p]
+            bc = bb_ref[h, c * 128:(c + 1) * 128, :]
+            ac = ab_ref[h, c * 128:(c + 1) * 128, :]
+            t2c = jax.lax.dot_general(qh, bc, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32,
+                                      precision=jax.lax.Precision.DEFAULT)
+            t3c = jax.lax.dot_general(kh, ac, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32,
+                                      precision=jax.lax.Precision.DEFAULT)
+            e24 = jnp.where(hi == c, jnp.take_along_axis(
+                t2c, lo, axis=1, mode="promise_in_bounds"), e24)
+            e3t = jnp.where(hiT == c, jnp.take_along_axis(
+                t3c, loT, axis=1, mode="promise_in_bounds"), e3t)
+        e24 = e24[:N, :N]
+        e3t = e3t[:N, :N]
+        t1 = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32,
+                                 precision=jax.lax.Precision.DEFAULT)
+        e = (t1 + e24 + e3t.T) * scale + mask_add
+        m = jnp.max(e, axis=-1, keepdims=True)
+        p = jnp.exp(e - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        attn = (p / s).astype(v_ref.dtype)
+        out_ref[h] = jax.lax.dot_general(
+            attn, v_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "scale"))
+def fused_relation_attention_inline(q, k, v, a_bank, b_bank, rel_index,
+                                    key_mask, interpret: bool = False,
+                                    scale: float = None):
+    """Fused attention with in-kernel table build.
+
+    q,k,v: [B,H,N,Dh]; a_bank/b_bank: [P,H,Dh]; rel_index: [B,N,N].
+    Returns out [B,H,N,Dh] in v.dtype."""
+    B, H, N, Dh = q.shape
+    P = a_bank.shape[0]
+    if scale is None:
+        scale = Dh ** -0.5
+    f32 = jnp.float32
+
+    # pad head dim to lanes with one spare lane for the t4 fold; pad the
+    # bank rows to a lane multiple (padded rows are never selected: real
+    # indices are < P)
+    Dh_pad = -(-(Dh + 1) // 128) * 128
+    P_pad = -(-P // 128) * 128
+    t4 = jnp.einsum("phd,phd->ph", a_bank.astype(f32), b_bank.astype(f32))
+
+    qp = jnp.pad(q, [(0, 0)] * 3 + [(0, Dh_pad - Dh)])
+    qp = qp.at[..., Dh].set(1.0)
+    kp = jnp.pad(k, [(0, 0)] * 3 + [(0, Dh_pad - Dh)])
+    vp = jnp.pad(v, [(0, 0)] * 3 + [(0, Dh_pad - Dh)])
+    # banks -> [H, P_pad, Dh_pad], t4 folded into b's aug lane
+    abT = jnp.pad(jnp.swapaxes(a_bank, 0, 1),
+                  [(0, 0), (0, P_pad - P), (0, Dh_pad - Dh)])
+    bbT = jnp.pad(jnp.swapaxes(b_bank, 0, 1),
+                  [(0, 0), (0, P_pad - P), (0, Dh_pad - Dh)])
+    bbT = bbT.at[:, :P, Dh].set(t4.T.astype(bbT.dtype))
+
+    # lane-align the index/mask minor dims (Mosaic: VMEM block minor dims
+    # must be multiples of 128); padded index columns gather garbage that
+    # the kernel slices off
+    Nc = -(-N // 128) * 128
+    idxT = jnp.swapaxes(rel_index, 1, 2)
+    idx_p = jnp.pad(rel_index, [(0, 0), (0, 0), (0, Nc - N)])
+    idxT_p = jnp.pad(idxT, [(0, 0), (0, 0), (0, Nc - N)])
+    mask_p = jnp.pad(key_mask.astype(jnp.int32).reshape(B, 1, N),
+                     [(0, 0), (0, 0), (0, Nc - N)])
+
+    grid = (B,)
+    qkv_spec = pl.BlockSpec((1, H, N, Dh_pad), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    # constant index map: fetched once, resident for the whole grid
+    bank_spec = pl.BlockSpec((H, P_pad, Dh_pad), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    idx_spec = pl.BlockSpec((1, N, Nc), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, Nc), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def kernel(q_r, k_r, v_r, ab_r, bb_r, idx_r, idxT_r, mask_r, out_r):
+        _kernel_inline(q_r.at[0], k_r.at[0], v_r.at[0], ab_r, bb_r,
+                       idx_r.at[0], idxT_r.at[0], mask_r, out_r.at[0],
+                       scale=scale)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bank_spec, bank_spec,
+                  idx_spec, idx_spec, mask_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, N, Dh_pad), v.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, abT, bbT, idx_p, idxT_p, mask_p)
+    return out[..., :Dh]
+
+
+# VMEM budget heuristic for the inline kernel: both banks + double-buffered
+# q/k/v/out blocks + index blocks must fit in ~16 MB.
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _inline_fits(q, a_bank):
+    B, H, N, Dh = q.shape
+    P = a_bank.shape[0]
+    Dh_pad = -(-(Dh + 1) // 128) * 128
+    P_pad = -(-P // 128) * 128
+    itemsize = q.dtype.itemsize
+    banks = 2 * H * P_pad * Dh_pad * itemsize
+    blocks = 2 * (4 * H * N * Dh_pad * itemsize + 2 * N * N * 4 + N * 4)
+    return banks + blocks <= _VMEM_BUDGET
 
 
 def pallas_relation_attention(q, k, v, a_bank, b_bank, rel_index, key_mask,
@@ -169,7 +340,14 @@ def pallas_relation_attention(q, k, v, a_bank, b_bank, rel_index, key_mask,
     """Drop-in equivalent of ops.attention.bank_relation_attention (output
     only; attention probs are not materialized — the fusion's point).
 
-    q,k,v: [B,H,N,Dh]; a_bank/b_bank: [P,H,Dh]; rel_index: [B,N,N]."""
+    q,k,v: [B,H,N,Dh]; a_bank/b_bank: [P,H,Dh]; rel_index: [B,N,N].
+    Dispatches to the inline-table kernel when the banks fit in VMEM,
+    else to the HBM-table streaming kernel."""
+    if _inline_fits(q, a_bank):
+        out = fused_relation_attention_inline(
+            q, k, v, a_bank, b_bank, rel_index, key_mask,
+            interpret=interpret)
+        return out, None
     t2, t3 = _build_tables(q, k, a_bank, b_bank)
     idxT = jnp.swapaxes(rel_index, 1, 2)
     out = fused_relation_attention(

@@ -49,27 +49,27 @@ def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, t2_hbm, t3_hbm, idx_ref,
             table_hbm.at[h], tbl_buf.at[table_slot, buf_slot],
             dma_sems.at[table_slot, buf_slot])
 
-    def gather_wide(tbl_slot, buf_slot, indices):
-        if N < 128:
-            indices = jnp.pad(indices, ((0, 0), (0, 128 - N)))
-        out = jnp.zeros(indices.shape, f32)
+    def gather_wide(tbl_slot, buf_slot, hi, lo):
+        out = jnp.zeros(hi.shape, f32)
         for c in range(P // 128):
-            local = indices - c * 128
-            inb = jnp.logical_and(local >= 0, local < 128)
-            lidx = jnp.clip(local, 0, 127)
             # slice the ref (not a loaded whole-plane value): only the
             # [N, 128] chunk is materialized in registers
             chunk = tbl_buf[tbl_slot, buf_slot, :, c * 128:(c + 1) * 128]
             part = jnp.take_along_axis(
-                chunk.astype(f32), lidx, axis=1, mode="promise_in_bounds")
-            out = jnp.where(inb, part, out)
+                chunk.astype(f32), lo, axis=1, mode="promise_in_bounds")
+            out = jnp.where(hi == c, part, out)
         return out[:, :N]
 
-    mask_add = jnp.where(mask_ref[0, 0, :] != 0, 0.0, NEG_INF).reshape(1, N)
-    # idx refs are [N, 1, N] (leading row dim untiled so phase B/C may
+    # index/mask blocks arrive lane-padded (minor dim Nc, a multiple of
+    # 128); padded columns gather garbage that is sliced off
+    mask_row = mask_ref[0, 0, :]
+    mask_add = jnp.where(mask_row != 0, 0.0, NEG_INF).reshape(1, -1)[:, :N]
+    # idx refs are [N, 1, Nc] (leading row dim untiled so phase B/C may
     # index it dynamically); full planes for phase A's gathers:
     idx32 = idx_ref[:, 0, :]
     idxT32 = idxT_ref[:, 0, :]
+    hi_a, lo_a = idx32 >> 7, jnp.bitwise_and(idx32, 127)
+    hi_t, lo_t = idxT32 >> 7, jnp.bitwise_and(idxT32, 127)
     iota_p = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
 
     # ---- phase A: recompute attn, softmax VJP, content grads ----
@@ -83,11 +83,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, t2_hbm, t3_hbm, idx_ref,
         dma(t2_hbm, h, 0, slot).wait()
         dma(t3_hbm, h, 1, slot).wait()
 
-        e24 = gather_wide(0, slot, idx32)
-        e3t = gather_wide(1, slot, idxT32)
+        e24 = gather_wide(0, slot, hi_a, lo_a)
+        e3t = gather_wide(1, slot, hi_t, lo_t)
         qh, kh, vh, goh = q_ref[h], k_ref[h], v_ref[h], go_ref[h]
         t1 = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT)
         e = (t1 + e24 + e3t.T) * scale + mask_add
         m = jnp.max(e, axis=-1, keepdims=True)
         p = jnp.exp(e - m)
@@ -96,19 +97,23 @@ def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, t2_hbm, t3_hbm, idx_ref,
 
         g_attn = jax.lax.dot_general(
             goh.astype(f32), vh.astype(f32), (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)                       # [N, N]
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT)                       # [N, N]
         gv_ref[h] = jax.lax.dot_general(
             attn, goh.astype(f32), (((0,), (0,)), ((), ())),
-            preferred_element_type=f32).astype(gv_ref.dtype)
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT).astype(gv_ref.dtype)
         # softmax VJP then the shared *scale of all score terms
         ge = attn * (g_attn - jnp.sum(g_attn * attn, axis=-1, keepdims=True))
         ge = ge * scale
         gq_ref[h] = jax.lax.dot_general(
             ge, kh.astype(f32), (((1,), (0,)), ((), ())),
-            preferred_element_type=f32).astype(gq_ref.dtype)
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT).astype(gq_ref.dtype)
         gk_ref[h] = jax.lax.dot_general(
             ge, qh.astype(f32), (((0,), (0,)), ((), ())),
-            preferred_element_type=f32).astype(gk_ref.dtype)
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT).astype(gk_ref.dtype)
         # row-major staging ([N, H, N]) so phase B/C can dynamically index
         # the leading dim (sublane-dim dynamic slices must be 8-aligned)
         ge_ref[:, h, :] = ge
@@ -118,7 +123,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, t2_hbm, t3_hbm, idx_ref,
     # staged in VMEM then DMA'd to the HBM output plane ----
     def scatter_pass(index_ref, ge_scratch, out_hbm):
         def body(r, _):
-            idx_row = index_ref[r]                            # [1, N]
+            idx_row = index_ref[r][:, :N]                     # [1, N]
             # matmul operand dtype follows the table dtype (bf16 in
             # production for MXU speed, f32 when testing in f32)
             dt = gt_scratch.dtype
@@ -128,7 +133,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, t2_hbm, t3_hbm, idx_ref,
             g_r = ge_scratch[r]                               # [H, N]
             gt_r = jax.lax.dot_general(
                 oh, g_r.astype(dt), (((0,), (1,)), ((), ())),
-                preferred_element_type=f32)                   # [P, H]
+                preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT)                   # [P, H]
             gt_scratch[r] = gt_r.T.astype(gt_scratch.dtype)   # [H, P]
             return 0
         jax.lax.fori_loop(0, N, body, 0)
@@ -164,9 +170,12 @@ def fused_relation_attention_bwd(q, k, v, g_out, t2, t3, idx, idxT,
                             memory_space=pltpu.VMEM)
     tbl_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     gt_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    idx_spec = pl.BlockSpec((1, N, 1, N), lambda b: (b, 0, 0, 0),
+    # lane-align the index/mask minor dims (Mosaic: VMEM block minor dims
+    # must be multiples of 128)
+    Nc = -(-N // 128) * 128
+    idx_spec = pl.BlockSpec((1, N, 1, Nc), lambda b: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
+    mask_spec = pl.BlockSpec((1, 1, Nc), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
 
     def kernel(q_r, k_r, v_r, go_r, t2_r, t3_r, idx_r, idxT_r, mask_r,
@@ -205,5 +214,7 @@ def fused_relation_attention_bwd(q, k, v, g_out, t2, t3, idx, idxT,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v, g_out, t2, t3,
-      idx.reshape(B, N, 1, N), idxT.reshape(B, N, 1, N),
-      node_mask.astype(jnp.int32).reshape(B, 1, N))
+      jnp.pad(idx.reshape(B, N, 1, N), [(0, 0), (0, 0), (0, 0), (0, Nc - N)]),
+      jnp.pad(idxT.reshape(B, N, 1, N), [(0, 0), (0, 0), (0, 0), (0, Nc - N)]),
+      jnp.pad(node_mask.astype(jnp.int32).reshape(B, 1, N),
+              [(0, 0), (0, 0), (0, Nc - N)]))

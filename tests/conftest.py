@@ -10,7 +10,13 @@ import os
 # The shell env pins JAX_PLATFORMS to the tunneled TPU ('axon') and the
 # plugin overrides the env var, so force CPU through jax.config (which wins).
 # Set GTOS_TEST_TPU=1 to run the suite against the real chip instead.
-if os.environ.get("GTOS_TEST_TPU") != "1":
+if os.environ.get("GTOS_TEST_TPU") == "1":
+    # parity tests compare f32 math: TPU's default matmul precision is
+    # reduced (bf16 passes), which breaks 1e-4-level tolerances
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+else:
     os.environ["JAX_PLATFORMS"] = ""
     flags = os.environ.get("XLA_FLAGS", "")
     if "--xla_force_host_platform_device_count" not in flags:
