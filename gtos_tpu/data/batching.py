@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from gtos_tpu.data.vocab import CLS, END, STR, LexicalMap, Vocab
-from gtos_tpu.graph.paths import GLOBAL_LABEL
+from gtos_tpu.graph.paths import GLOBAL_LABEL, NONE_LABEL
 
 
 @dataclasses.dataclass
@@ -57,7 +57,18 @@ class BucketSpec:
     bank: Tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096)
     path_len: Tuple[int, ...] = (2, 4, 8)
     chars: Tuple[int, ...] = (8, 16, 24)
-    max_oov: Tuple[int, ...] = (0, 16, 64)
+    # hard cap on per-instance copyable OOVs; MUST equal the model's
+    # ModelConfig.max_oov (extended ids are V + oov position, and the model
+    # sizes its scatter at V + max_oov). Entry points derive this spec from
+    # the model config via `for_model_max_oov`.
+    max_oov: int = 64
+    # per-cell edge capacity ladder for the sparse/context-parallel path
+    # ([B, S, S, Ec] cell layout — see batchify edge construction)
+    edge_cells: Tuple[int, ...] = (
+        64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+
+    def for_model_max_oov(self, model_max_oov: int) -> "BucketSpec":
+        return dataclasses.replace(self, max_oov=model_max_oov)
 
     @staticmethod
     def fit(ladder: Tuple[int, ...], size: int) -> int:
@@ -87,6 +98,13 @@ class GraphBatch:
     token_mask: np.ndarray    # [B, T] bool, True at real target positions
     cp_seq: np.ndarray        # [B, N] int32 extended id copying node n yields
     copy_mask: np.ndarray     # [B, N] bool, True where copying is allowed
+    # sparse / context-parallel edge cells (built when batchify is called
+    # with build_edges=True): [B, S, S, Ec]; cell (d, s) holds edges with
+    # dst in node block d and src in node block s, ids BLOCK-LOCAL
+    edge_src: Optional[np.ndarray] = None   # [B, S, S, Ec] int32
+    edge_dst: Optional[np.ndarray] = None   # [B, S, S, Ec] int32
+    edge_rel: Optional[np.ndarray] = None   # [B, S, S, Ec] int32 bank rows
+    edge_mask: Optional[np.ndarray] = None  # [B, S, S, Ec] bool
     oov_lists: List[List[str]] = dataclasses.field(default_factory=list)
     meta: List[Optional[dict]] = dataclasses.field(default_factory=list)
 
@@ -99,11 +117,12 @@ class GraphBatch:
         return max((len(o) for o in self.oov_lists), default=0)
 
     def arrays(self) -> Dict[str, np.ndarray]:
-        """The jit-traceable payload (drops host-only fields)."""
+        """The jit-traceable payload (drops host-only and absent fields)."""
         return {
             f.name: getattr(self, f.name)
             for f in dataclasses.fields(self)
             if f.name not in ("oov_lists", "meta")
+            and getattr(self, f.name) is not None
         }
 
 
@@ -122,8 +141,19 @@ def batchify(
     spec: BucketSpec = BucketSpec(),
     batch_size_bucket: Optional[int] = None,
     for_train: bool = True,
+    build_edges: bool = False,
+    cp_shards: int = 1,
+    sparse_khop: int = 0,
 ) -> GraphBatch:
-    """Assemble one static-shape GraphBatch from preprocessed instances."""
+    """Assemble one static-shape GraphBatch from preprocessed instances.
+
+    build_edges: additionally emit the [B, S, S, Ec] edge-cell tensors the
+    sparse / context-parallel encoder consumes (S = cp_shards node blocks).
+    sparse_khop: 0 keeps every real ordered pair (exact parity with the
+    dense path); k > 0 keeps pairs whose shortest path has <= k labels
+    (self and global-node pairs always kept, unreachable pairs dropped) —
+    the O(E) scaling mode for graphs too large for dense attention.
+    """
     B = batch_size_bucket or len(instances)
     assert B >= len(instances)
 
@@ -193,10 +223,10 @@ def batchify(
                 for j in range(n_real):
                     rel_index[b, i + 1, j + 1] = bank_id(row[j])
 
-        # copy targets -> extended vocab ids (capped at the spec's max_oov
-        # bucket so extended ids never exceed the model's ext_vocab; OOVs
-        # past the cap degrade to UNK instead of overflowing the scatter)
-        oov_cap = spec.max_oov[-1]
+        # copy targets -> extended vocab ids (capped at spec.max_oov so
+        # extended ids never exceed the model's ext_vocab; OOVs past the
+        # cap degrade to UNK instead of overflowing the scatter)
+        oov_cap = spec.max_oov
         oov: List[str] = []
         oov_pos: Dict[str, int] = {}
         cp_seq[b, 0] = token_vocab.unk_id
@@ -240,7 +270,13 @@ def batchify(
         for k, lbl in enumerate(path):
             rel_bank[p, k] = relation_vocab.encode(lbl)
 
+    edge_arrays = {}
+    if build_edges:
+        edge_arrays = _build_edge_cells(
+            concept_mask, rel_index, bank_paths, spec, cp_shards, sparse_khop)
+
     return GraphBatch(
+        **edge_arrays,
         concept=concept,
         concept_char=concept_char,
         concept_mask=concept_mask,
@@ -255,3 +291,71 @@ def batchify(
         oov_lists=oov_lists,
         meta=metas,
     )
+
+
+def _build_edge_cells(concept_mask, rel_index, bank_paths, spec: BucketSpec,
+                      cp_shards: int, sparse_khop: int):
+    """COO edge cells for the sparse / context-parallel encoder.
+
+    Returns {'edge_src', 'edge_dst', 'edge_rel', 'edge_mask'}, each
+    [B, S, S, Ec]: cell (d, s) holds the kept ordered pairs (i=dst query,
+    j=src key) of each graph with i in node block d and j in node block s,
+    ids block-local, dst-sorted inside the cell. The ring CP schedule
+    (gtos_tpu.parallel.ring_attention) processes one src-block cell per
+    ring step; with S=1 the layout is plain batched COO.
+    """
+    B, N = concept_mask.shape
+    S = cp_shards
+    assert N % S == 0, f"node bucket {N} not divisible by cp_shards {S}"
+    nl = N // S
+
+    bank_len = np.fromiter((len(p) for p in bank_paths), np.int32,
+                           count=len(bank_paths))
+    bank_none = np.fromiter((p == (NONE_LABEL,) for p in bank_paths), bool,
+                            count=len(bank_paths))
+
+    keep = concept_mask[:, :, None] & concept_mask[:, None, :]   # [B,N,N]
+    if sparse_khop > 0:
+        plen = bank_len[rel_index]
+        is_none = bank_none[rel_index]
+        within = (plen <= sparse_khop) & ~is_none
+        always = np.zeros((N, N), dtype=bool)
+        np.fill_diagonal(always, True)      # self
+        always[0, :] = always[:, 0] = True  # global node row/col
+        keep &= within | always[None]
+
+    # pass 1: max edges in any cell -> Ec bucket
+    max_cell = 1
+    per_b = []
+    for b in range(B):
+        ii, jj = np.nonzero(keep[b])
+        if len(ii) == 0:
+            per_b.append((ii, jj, None, None))
+            continue
+        cell = (ii // nl) * S + (jj // nl)
+        order = np.lexsort((jj, ii, cell))
+        ii, jj, cell = ii[order], jj[order], cell[order]
+        cnt = np.bincount(cell, minlength=S * S)
+        max_cell = max(max_cell, int(cnt.max()))
+        per_b.append((ii, jj, cell, cnt))
+    Ec = BucketSpec.fit(spec.edge_cells, max_cell)
+    assert max_cell <= Ec, (
+        f"edge cell overflow: {max_cell} edges in one (dst,src) block pair "
+        f"> cap {Ec}; raise spec.edge_cells or cp_shards")
+
+    esrc = np.zeros((B, S, S, Ec), dtype=np.int32)
+    edst = np.zeros((B, S, S, Ec), dtype=np.int32)
+    erel = np.zeros((B, S, S, Ec), dtype=np.int32)
+    emask = np.zeros((B, S, S, Ec), dtype=bool)
+    for b, (ii, jj, cell, cnt) in enumerate(per_b):
+        if cell is None:
+            continue
+        starts = np.zeros(S * S, dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        pos = np.arange(len(cell)) - starts[cell]
+        flat = lambda a: a.reshape(S * S, Ec)  # noqa: E731
+        flat(esrc[b])[cell, pos] = jj % nl
+        flat(edst[b])[cell, pos] = ii % nl
+        flat(erel[b])[cell, pos] = rel_index[b, ii, jj]
+        flat(emask[b])[cell, pos] = True
+    return dict(edge_src=esrc, edge_dst=edst, edge_rel=erel, edge_mask=emask)

@@ -36,6 +36,12 @@ def _dtype(cfg: ModelConfig):
 
 class Generator(nn.Module):
     cfg: ModelConfig
+    # context-parallel mesh for the sparse encoder (runtime wiring, not part
+    # of the serialized config): when set and its cp_axis has >1 devices,
+    # the encoder's relation attention runs edge-partitioned with the ring
+    # boundary-exchange schedule (gtos_tpu.parallel.ring_attention)
+    cp_mesh: Optional[object] = None
+    cp_axis: str = "graph"
 
     def setup(self):
         cfg = self.cfg
@@ -49,7 +55,8 @@ class Generator(nn.Module):
             cfg.d_model, cfg.dropout, dtype=dt)
         self.graph_transformer = GraphTransformer(
             cfg.enc_layers, cfg.d_model, cfg.d_ff, cfg.heads, cfg.dropout,
-            dtype=dt, impl=cfg.attention_impl)
+            dtype=dt, impl=cfg.attention_impl, cp_mesh=self.cp_mesh,
+            cp_axis=self.cp_axis)
         self.decoder = Decoder(
             cfg.token_vocab, cfg.dec_layers, cfg.d_model, cfg.d_ff,
             cfg.heads, cfg.dropout, cfg.max_target_len, dtype=dt)
@@ -61,12 +68,16 @@ class Generator(nn.Module):
     # ---------------- encoding ----------------
 
     def encode(self, concept, concept_char, concept_mask, rel_bank,
-               rel_length, rel_index, deterministic: bool = True):
-        """-> concept representations [B, N, D]."""
+               rel_length, rel_index, deterministic: bool = True,
+               edges=None):
+        """-> concept representations [B, N, D].
+
+        edges: (src, dst, rel, mask) cell tensors for the sparse encoder
+        (attention_impl='sparse'); None for the dense paths."""
         x = self.token_encoder(concept, concept_char, deterministic)
         rel_vecs = self.relation_encoder(rel_bank, rel_length, deterministic)
         return self.graph_transformer(
-            x, rel_vecs, rel_index, concept_mask, deterministic)
+            x, rel_vecs, rel_index, concept_mask, deterministic, edges)
 
     # ---------------- output distribution ----------------
 
@@ -125,7 +136,7 @@ class Generator(nn.Module):
         mem = self.encode(
             batch["concept"], batch["concept_char"], batch["concept_mask"],
             batch["rel_bank"], batch["rel_length"], batch["rel_index"],
-            deterministic)
+            deterministic, edges=batch_edges(batch))
         h, align = self.decoder(
             batch["token_in"], mem, batch["concept_mask"], deterministic)
         # align: [B, H, T, N] -> per-position [B, T, H, N]
@@ -138,10 +149,12 @@ class Generator(nn.Module):
         n_tok = mask.sum() + EPS
         loss = (nll * mask).sum() / n_tok
         if cfg.label_smoothing > 0.0:
-            # uniform smoothing over the generation softmax
-            logits = self._logits(h).astype(jnp.float32)
-            lsm = jax.nn.log_softmax(logits, axis=-1)
-            smooth = -(lsm.mean(-1) * mask).sum() / n_tok
+            # Standard label smoothing over the FINAL (copy-mixed) output
+            # distribution: target = (1-eps)*onehot + eps*uniform(V), with
+            # the uniform mass spread over the real token vocab only (the
+            # OOV tail of the extended vocab is per-instance and mostly
+            # padding, so smoothing onto it would inject log(EPS) noise).
+            smooth = -(logp[..., : cfg.token_vocab].mean(-1) * mask).sum() / n_tok
             loss = (1.0 - cfg.label_smoothing) * loss + cfg.label_smoothing * smooth
         acc = ((logp.argmax(-1) == tgt) * mask).sum() / n_tok
         return loss, {"loss": loss, "acc": acc, "n_tok": mask.sum()}
@@ -162,6 +175,14 @@ class Generator(nn.Module):
             token_t, pos, caches, concept_mask)
         logp = self.ext_log_probs(h, align, cp_seq, copy_mask)
         return logp, new_caches
+
+
+def batch_edges(batch: Dict[str, jnp.ndarray]):
+    """Extract the sparse-encoder edge tuple from a batch dict, if present."""
+    if "edge_src" not in batch:
+        return None
+    return (batch["edge_src"], batch["edge_dst"], batch["edge_rel"],
+            batch["edge_mask"])
 
 
 def _scatter_add_last(ext, idx, vals):

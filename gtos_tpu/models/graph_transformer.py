@@ -5,12 +5,14 @@ Reference counterpart: generator/graph_transformer.py in jcyk/gtos
 of relation-aware multi-head attention + FFN over all node pairs. The
 attention scores use the exact 4-term bank decomposition from
 gtos_tpu.ops.attention instead of materializing the O(N^2 * D) relation pair
-tensor; a Pallas fused kernel can be swapped in via `score_impl`.
+tensor; a Pallas fused kernel can be swapped in via `impl`, and the O(E)
+sparse edge-list path (optionally context-parallel over the mesh's 'graph'
+axis via the ring schedule) via `impl='sparse'` + edge tensors.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -18,7 +20,11 @@ import jax.numpy as jnp
 from gtos_tpu.models.components import (
     FeedForward, PostLNResidual, merge_heads, split_heads,
 )
-from gtos_tpu.ops.attention import bank_relation_attention, bank_relation_scores
+from gtos_tpu.ops.attention import bank_relation_attention
+
+# edge tensors as passed through the stack: (src, dst, rel, mask), each
+# [B, S, S, Ec] in the batchify cell layout
+EdgeTuple = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
 
 
 class RelationMultiheadAttention(nn.Module):
@@ -29,16 +35,22 @@ class RelationMultiheadAttention(nn.Module):
     relation_in_proj — a single Linear chunked in two).
 
     impl: "xla" (pure-JAX bank decomposition), "pallas" (fused TPU kernel,
-    custom_vjp with XLA backward), "pallas_interpret" (kernel under the
-    Pallas interpreter for CPU tests)."""
+    custom_vjp), "pallas_interpret" (kernel under the Pallas interpreter
+    for CPU tests), "sparse" (O(E) edge-list SDDMM/segment-softmax/SpMM —
+    requires edge tensors; context-parallel over `cp_mesh`'s `cp_axis`
+    when that axis has >1 devices, via the ring boundary-exchange
+    schedule)."""
 
     d_model: int
     heads: int
     dtype: jnp.dtype = jnp.float32
     impl: str = "xla"
+    cp_mesh: Optional[Any] = None
+    cp_axis: str = "graph"
 
     @nn.compact
-    def __call__(self, x, rel_vecs, rel_index, node_mask):
+    def __call__(self, x, rel_vecs, rel_index, node_mask,
+                 edges: Optional[EdgeTuple] = None):
         """x: [B,N,D]; rel_vecs: [P,Dr]; rel_index: [B,N,N]; node_mask: [B,N]."""
         H, Dh = self.heads, self.d_model // self.heads
         q = split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(x), H)
@@ -48,7 +60,11 @@ class RelationMultiheadAttention(nn.Module):
         P = ab.shape[0]
         a_bank = ab[:, : self.d_model].reshape(P, H, Dh)
         b_bank = ab[:, self.d_model:].reshape(P, H, Dh)
-        if self.impl in ("pallas", "pallas_interpret"):
+        if self.impl == "sparse":
+            assert edges is not None, (
+                "impl='sparse' needs edge tensors (batchify build_edges)")
+            out = self._sparse(q, k, v, a_bank, b_bank, edges)
+        elif self.impl in ("pallas", "pallas_interpret"):
             from gtos_tpu.ops.pallas import relation_attention_trainable
             out = relation_attention_trainable(
                 q, k, v, a_bank, b_bank, rel_index, node_mask,
@@ -57,7 +73,25 @@ class RelationMultiheadAttention(nn.Module):
             out, _ = bank_relation_attention(
                 q, k, v, a_bank, b_bank, rel_index, node_mask)
         return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(
-            merge_heads(out))
+            merge_heads(out.astype(self.dtype)))
+
+    def _sparse(self, q, k, v, a_bank, b_bank, edges: EdgeTuple):
+        src, dst, rel, mask = edges
+        if self.cp_mesh is not None and \
+                self.cp_mesh.shape.get(self.cp_axis, 1) > 1:
+            from gtos_tpu.parallel.ring_attention import (
+                ring_sparse_relation_attention,
+            )
+            return ring_sparse_relation_attention(
+                self.cp_mesh, q, k, v, a_bank, b_bank,
+                src, dst, rel, mask, axis_name=self.cp_axis)
+        from gtos_tpu.ops.sparse_relation import (
+            flatten_edge_cells, sparse_relation_attention,
+        )
+        fsrc, fdst, frel, fmask = flatten_edge_cells(
+            src, dst, rel, mask, num_nodes=q.shape[2])
+        return sparse_relation_attention(
+            q, k, v, a_bank, b_bank, fsrc, fdst, frel, fmask)
 
 
 class GraphTransformerLayer(nn.Module):
@@ -67,13 +101,17 @@ class GraphTransformerLayer(nn.Module):
     dropout: float
     dtype: jnp.dtype = jnp.float32
     impl: str = "xla"
+    cp_mesh: Optional[Any] = None
+    cp_axis: str = "graph"
 
     @nn.compact
-    def __call__(self, x, rel_vecs, rel_index, node_mask, deterministic=True):
+    def __call__(self, x, rel_vecs, rel_index, node_mask, deterministic=True,
+                 edges: Optional[EdgeTuple] = None):
         attn = RelationMultiheadAttention(
             self.d_model, self.heads, dtype=self.dtype,
-            impl=self.impl, name="self_attn",
-        )(x, rel_vecs, rel_index, node_mask)
+            impl=self.impl, cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
+            name="self_attn",
+        )(x, rel_vecs, rel_index, node_mask, edges)
         x = PostLNResidual(self.dropout, dtype=self.dtype, name="attn_res")(
             x, attn, deterministic)
         ff = FeedForward(self.d_model, self.d_ff, self.dropout,
@@ -91,13 +129,17 @@ class GraphTransformer(nn.Module):
     dropout: float
     dtype: jnp.dtype = jnp.float32
     impl: str = "xla"
+    cp_mesh: Optional[Any] = None
+    cp_axis: str = "graph"
 
     @nn.compact
-    def __call__(self, x, rel_vecs, rel_index, node_mask, deterministic=True):
+    def __call__(self, x, rel_vecs, rel_index, node_mask, deterministic=True,
+                 edges: Optional[EdgeTuple] = None):
         for i in range(self.layers):
             x = GraphTransformerLayer(
                 self.d_model, self.d_ff, self.heads, self.dropout,
-                dtype=self.dtype, impl=self.impl, name=f"layer{i}",
-            )(x, rel_vecs, rel_index, node_mask, deterministic)
+                dtype=self.dtype, impl=self.impl, cp_mesh=self.cp_mesh,
+                cp_axis=self.cp_axis, name=f"layer{i}",
+            )(x, rel_vecs, rel_index, node_mask, deterministic, edges)
         # zero padded nodes so downstream cross-attention sees clean memory
         return jnp.where(node_mask[:, :, None], x, 0.0)

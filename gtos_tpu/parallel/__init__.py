@@ -3,6 +3,7 @@ from gtos_tpu.parallel.mesh import (
 )
 from gtos_tpu.parallel.edge_partition import edge_parallel_attention
 from gtos_tpu.parallel.context_parallel import node_parallel_relation_attention
+from gtos_tpu.parallel.ring_attention import ring_sparse_relation_attention
 from gtos_tpu.parallel.tensor_parallel import (
     param_spec, shard_state, state_shardings,
 )
@@ -11,6 +12,7 @@ from gtos_tpu.parallel.train import make_sharded_train_step
 __all__ = [
     "make_mesh", "batch_sharding", "replicate", "shard_arrays",
     "edge_parallel_attention", "node_parallel_relation_attention",
+    "ring_sparse_relation_attention",
     "make_sharded_train_step", "param_spec", "shard_state",
     "state_shardings",
 ]

@@ -38,8 +38,14 @@ class CheckpointManager:
                 with open(os.path.join(self.directory, "train_config.json"), "w") as f:
                     f.write(train_cfg.to_json())
 
-    def save(self, step: int, state):
+    def save(self, step: int, state, cursor: Optional[dict] = None):
+        """cursor: dataloader position {'epoch': int, 'batch': int} so
+        resume continues mid-epoch instead of restarting the epoch order
+        (SURVEY.md §5 checkpoint row; VERDICT r1 missing #6)."""
         self.mgr.save(step, args=ocp.args.StandardSave(state))
+        if cursor is not None and jax.process_index() == 0:
+            with open(os.path.join(self.directory, "cursor.json"), "w") as f:
+                json.dump(dict(cursor, step=step), f)
 
     def wait(self):
         self.mgr.wait_until_finished()
@@ -50,6 +56,17 @@ class CheckpointManager:
             return None
         return self.mgr.restore(
             step, args=ocp.args.StandardRestore(abstract_state))
+
+    def load_cursor(self) -> Optional[dict]:
+        """The dataloader cursor saved with the LATEST step (None if absent
+        or stale)."""
+        path = os.path.join(self.directory, "cursor.json")
+        step = self.mgr.latest_step()
+        if step is None or not os.path.exists(path):
+            return None
+        with open(path) as f:
+            cur = json.load(f)
+        return cur if cur.get("step") == step else None
 
     @staticmethod
     def load_model_config(directory: str) -> ModelConfig:

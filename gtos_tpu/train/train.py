@@ -36,7 +36,14 @@ from gtos_tpu.utils.config import ModelConfig, TrainConfig
 
 
 def parse_args(argv=None):
+    # --config FILE loads experiment defaults (the 5 BASELINE configs live
+    # in configs/); explicit CLI flags override the file.
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config")
+    pre_args, _ = pre.parse_known_args(argv)
+
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", help="JSON experiment config (configs/*.json)")
     p.add_argument("--task", choices=["amr", "nmt"], default="amr")
     p.add_argument("--train_data", help="sembank file (amr) or CoNLL file (nmt)")
     p.add_argument("--train_target", help="target sentences, one per line (nmt)")
@@ -44,7 +51,7 @@ def parse_args(argv=None):
     p.add_argument("--dev_target")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic instances instead of files")
-    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--ckpt_dir")
     # model
     p.add_argument("--d_model", type=int, default=512)
     p.add_argument("--d_ff", type=int, default=1024)
@@ -55,10 +62,16 @@ def parse_args(argv=None):
     p.add_argument("--label_smoothing", type=float, default=0.0)
     p.add_argument("--max_path_len", type=int, default=8)
     p.add_argument("--max_target_len", type=int, default=128)
+    p.add_argument("--max_oov", type=int, default=64,
+                   help="copyable OOVs per instance (extended vocab = "
+                        "token vocab + this; also caps batchify's OOV list)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--attention_impl", default="xla",
-                   choices=["xla", "pallas", "pallas_interpret"])
+                   choices=["xla", "pallas", "pallas_interpret", "sparse"])
+    p.add_argument("--sparse_khop", type=int, default=0,
+                   help="sparse encoder: keep pairs within k path labels "
+                        "(0 = all pairs); only with --attention_impl sparse")
     # optimization
     p.add_argument("--total_steps", type=int, default=100000)
     p.add_argument("--warmup_steps", type=int, default=4000)
@@ -71,16 +84,43 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=19940117)
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint in --ckpt_dir")
+    p.add_argument("--profile", metavar="LOGDIR",
+                   help="capture a jax.profiler device trace of the run "
+                        "into LOGDIR (TensorBoard/Perfetto)")
     # parallelism
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel mesh size (0 = no mesh, single device)")
     p.add_argument("--mp", type=int, default=1,
                    help="tensor-parallel mesh size (shards attention/FFN "
                         "projections over the 'model' axis)")
+    p.add_argument("--graph", type=int, default=1,
+                   help="context-parallel mesh size: node blocks + edge "
+                        "cells sharded over the 'graph' axis with the ring "
+                        "boundary-exchange schedule (requires "
+                        "--attention_impl sparse)")
     p.add_argument("--coordinator", help="multi-host coordinator address")
     p.add_argument("--num_hosts", type=int, default=1)
     p.add_argument("--host_id", type=int, default=0)
-    return p.parse_args(argv)
+    # evaluation
+    p.add_argument("--eval_bleu", action="store_true",
+                   help="greedy-decode the dev set at every eval interval "
+                        "and log dev BLEU (sacrebleu)")
+    p.add_argument("--eval_bleu_max", type=int, default=200,
+                   help="cap on dev instances decoded for dev BLEU")
+
+    if pre_args.config:
+        import json
+        with open(pre_args.config) as f:
+            conf = {k: v for k, v in json.load(f).items()
+                    if not k.startswith("_")}
+        known = {a.dest for a in p._actions}
+        unknown = set(conf) - known
+        assert not unknown, f"unknown keys in {pre_args.config}: {unknown}"
+        p.set_defaults(**conf)
+
+    args = p.parse_args(argv)
+    assert args.ckpt_dir, "--ckpt_dir is required"
+    return args
 
 
 def load_corpus(task: str, data_path: str, target_path=None
@@ -111,6 +151,32 @@ def load_synthetic(task: str, n: int):
         synthetic_amr_corpus, synthetic_dependency_corpus)
     fn = synthetic_amr_corpus if task == "amr" else synthetic_dependency_corpus
     return fn(n, seed=0)
+
+
+def make_dev_bleu_fn(model, tv, cv, rv, chv, lm, dev_instances, dl_kw):
+    """params -> corpus BLEU of greedy decode on (a capped slice of) the
+    dev set — the training-time quality signal the reference gets from its
+    periodic dev eval + external BLEU scripts (SURVEY.md §4)."""
+    from gtos_tpu.data.dataloader import DataLoader
+    from gtos_tpu.infer.decode import decode_batch
+
+    dl = DataLoader(dev_instances, tv, cv, rv, chv, lm,
+                    batch_size_tokens=2048, for_train=False,
+                    **{k: v for k, v in dl_kw.items()
+                       if k != "batch_multiple"})
+
+    def dev_bleu(params) -> float:
+        import sacrebleu
+        hyps, refs = [], []
+        for batch, group in dl.iter_with_instances():
+            out = decode_batch(model, params, batch, tv, beam_size=1,
+                               max_steps=64, alpha=0.0)
+            for hyp, inst in zip(out, group):
+                hyps.append(" ".join(hyp))
+                refs.append(" ".join(inst.target))
+        return sacrebleu.corpus_bleu(hyps, [refs]).score
+
+    return dev_bleu
 
 
 def main(argv=None):
@@ -157,12 +223,17 @@ def main(argv=None):
         heads=args.heads, enc_layers=args.enc_layers,
         dec_layers=args.dec_layers, dropout=args.dropout,
         label_smoothing=args.label_smoothing,
+        max_oov=args.max_oov,
         max_target_len=args.max_target_len,
         compute_dtype=args.compute_dtype,
         attention_impl=args.attention_impl,
+        sparse_khop=args.sparse_khop,
         use_copy=(args.task == "amr"),
         use_node_positions=(args.task == "nmt"),
     )
+    if args.graph > 1:
+        assert args.attention_impl == "sparse", (
+            "--graph context parallelism requires --attention_impl sparse")
     train_cfg = TrainConfig(
         lr_scale=args.lr_scale, warmup_steps=args.warmup_steps,
         grad_clip=args.grad_clip, accum_steps=args.accum_steps,
@@ -173,33 +244,54 @@ def main(argv=None):
     )
 
     mesh = None
-    if args.dp or args.mp > 1:
+    if args.dp or args.mp > 1 or args.graph > 1:
         from gtos_tpu.parallel import make_mesh
-        mesh = make_mesh(dp=args.dp or None, mp=args.mp)
+        mesh = make_mesh(dp=args.dp or None, mp=args.mp, graph=args.graph)
 
+    # spec.max_oov is derived from the model config so extended target ids
+    # can never exceed the model's scatter size (VERDICT r1 weak #3)
+    from gtos_tpu.data.batching import BucketSpec
+    spec = BucketSpec().for_model_max_oov(model_cfg.max_oov)
+
+    sparse = args.attention_impl == "sparse"
+    dl_kw = dict(batch_multiple=args.dp or 1, spec=spec, build_edges=sparse,
+                 cp_shards=args.graph, sparse_khop=args.sparse_khop)
     instances = preprocess(graphs, targets, path_cfg)
     dev_instances = preprocess(dev_graphs, dev_targets, path_cfg)
     dl = DataLoader(instances, tv, cv, rv, chv, lm,
                     batch_size_tokens=args.batch_size_tokens, for_train=True,
-                    seed=args.seed, batch_multiple=args.dp or 1)
+                    seed=args.seed, **dl_kw)
     dev_dl = (DataLoader(dev_instances, tv, cv, rv, chv, lm,
                          batch_size_tokens=args.batch_size_tokens,
-                         for_train=False, batch_multiple=args.dp or 1)
+                         for_train=False, **dl_kw)
               if dev_instances else None)
 
-    model = Generator(model_cfg)
+    model = Generator(model_cfg,
+                      cp_mesh=(mesh if args.graph > 1 else None))
     first = next(iter(dl))
     metrics = MetricsWriter(
         os.path.join(args.ckpt_dir, "metrics.jsonl"),
         enabled=(jax.process_index() == 0))
     ckpt = CheckpointManager(args.ckpt_dir, model_cfg, train_cfg)
+
+    dev_bleu_fn = None
+    if args.eval_bleu and dev_instances:
+        dev_bleu_fn = make_dev_bleu_fn(
+            model, tv, cv, rv, chv, lm, dev_instances[: args.eval_bleu_max],
+            dl_kw)
+
     trainer = Trainer(model, model_cfg, train_cfg, first.arrays(),
                       metrics_writer=metrics, checkpoint_manager=ckpt,
-                      mesh=mesh)
+                      mesh=mesh, dev_bleu_fn=dev_bleu_fn)
     if args.resume:
         step = trainer.restore_if_available()
         print(f"resumed at step {step}", file=sys.stderr)
-    last = trainer.fit(dl, dev_dl)
+    if args.profile:
+        from gtos_tpu.utils.profiling import trace
+        with trace(args.profile):
+            last = trainer.fit(dl, dev_dl)
+    else:
+        last = trainer.fit(dl, dev_dl)
     print(f"done: {last}", file=sys.stderr)
     return last
 

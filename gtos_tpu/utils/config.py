@@ -48,8 +48,13 @@ class ModelConfig:
     max_target_len: int = 128
     # encoder attention implementation: "xla" (pure-JAX bank decomposition),
     # "pallas" (fused TPU kernel), "pallas_interpret" (kernel under the
-    # interpreter, for CPU tests)
+    # interpreter, for CPU tests), "sparse" (O(E) edge-list attention;
+    # context-parallel over the mesh 'graph' axis when one is wired in)
     attention_impl: str = "xla"
+    # sparse mode: keep node pairs whose shortest path has <= k labels
+    # (0 = all pairs, exact dense parity). Stored in the model config so
+    # inference rebuilds the identical edge pipeline from the checkpoint.
+    sparse_khop: int = 0
 
     @property
     def ext_vocab(self) -> int:

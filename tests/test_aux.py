@@ -50,9 +50,10 @@ def test_scaling_harness_small():
     from gtos_tpu.parallel.scaling import scaling_report
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")
-    rep = scaling_report(num_nodes=256, num_edges=4096, dim=32)
+    rep = scaling_report(num_nodes=256, edges_per_node=16, dim=16, bank=32)
     assert rep["n_devices"] >= 2
     assert rep["edges_per_s_1dev"] > 0 and rep["edges_per_s_mesh"] > 0
+    assert rep["per_device_nodes"] == 256 // rep["n_devices"]
     # CPU-mesh efficiency is not meaningful; just check the math holds
     assert abs(rep["efficiency"] - rep["speedup"] / rep["n_devices"]) < 1e-9
 
@@ -105,7 +106,7 @@ def test_oov_cap_respected():
     cv = Vocab(concepts)
     rv = Vocab([SELF_LABEL])
     chv = Vocab(list("z0123456789"))
-    spec = BucketSpec(max_oov=(0, 16))
+    spec = BucketSpec(max_oov=16)
     batch = batchify([inst], tv, cv, rv, chv, LexicalMap(), spec=spec,
                      batch_size_bucket=1)
     assert batch.num_oov == 16

@@ -90,7 +90,7 @@ def test_model_beam_decode_runs(model_setup):
     assert res.seqs.shape[1] == 3
     # all sequences start with STR
     assert (np.asarray(res.seqs[:, :, 0]) == STR_ID).all()
-    hyps = decode_batch(model, params, batch, tv.itos, beam_size=3,
+    hyps = decode_batch(model, params, batch, tv, beam_size=3,
                         max_steps=8)
     assert len(hyps) == 2
     for h in hyps:
