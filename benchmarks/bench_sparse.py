@@ -1,0 +1,156 @@
+"""Sparse-path benchmark on the real TPU (VERDICT r1 item 3).
+
+Times, on the SAME kept-pair set:
+  * the pure-XLA O(E) segment-op pipeline (ops/sparse_relation.py) — the
+    portable fallback;
+  * the block-sparse Pallas kernel (ops/pallas/block_sparse_attention.py) —
+    the TPU-native SpMM/SDDMM: 128x128 node tiles as the unit of sparsity,
+    empty tiles skipped, nonempty tiles computed densely on the MXU;
+and reports edges/s plus the analytic HBM roofline of a hypothetical
+perfect edge-granular implementation (f32: reads q[dst],k[src],v[src],
+a[rel],b[rel] + score r/w per edge-head), quantifying how far each sits
+from edge-granular speed-of-light and why tile-granular wins on TPU.
+
+Writes benchmarks/sparse_roofline.json and prints one JSON line.
+"""
+
+import functools
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from gtos_tpu.ops.block_sparse import TILE, pack_block_sparse  # noqa: E402
+from gtos_tpu.ops.pallas.block_sparse_attention import (  # noqa: E402
+    block_sparse_relation_attention,
+)
+from gtos_tpu.ops.sparse_relation import (  # noqa: E402
+    sparse_relation_attention,
+)
+
+PEAK_HBM_BPS = 819e9
+
+
+def _marginal(loop_fn, q, lo, hi, calls=3):
+    def run(iters):
+        np.asarray(loop_fn(q, iters))
+        t0 = time.perf_counter()
+        r = q
+        for _ in range(calls):
+            r = loop_fn(r, iters)
+        np.asarray(r)
+        return (time.perf_counter() - t0) / calls
+
+    t_lo, t_hi = run(lo), run(hi)
+    return max(t_hi - t_lo, 1e-9) / (hi - lo)
+
+
+def banded_case(B=1, H=8, N=2048, Dh=64, P=2048, band=1, density=0.25,
+                seed=0):
+    """A banded block-sparse graph: kept pairs only within +-band node
+    tiles of the diagonal (the locality structure of trees/paths/DAGs)."""
+    rng = np.random.default_rng(seed)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    q, k, v = (jax.random.normal(kk, (B, H, N, Dh), jnp.float32)
+               for kk in ks[:3])
+    a_bank = jax.random.normal(ks[3], (P, H, Dh)) * 0.5
+    b_bank = jax.random.normal(ks[4], (P, H, Dh)) * 0.5
+    rel = rng.integers(0, P, (B, N, N)).astype(np.int32)
+    keep = np.zeros((B, N, N), bool)
+    Tn = N // TILE
+    for d in range(Tn):
+        lo_t = max(0, d - band)
+        hi_t = min(Tn, d + band + 1)
+        blk = rng.random((B, TILE, (hi_t - lo_t) * TILE)) < density
+        keep[:, d * TILE:(d + 1) * TILE,
+             lo_t * TILE:hi_t * TILE] = blk
+    idx = np.arange(N)
+    keep[:, idx, idx] = True
+    E = int(keep.sum(axis=(1, 2)).max())
+    return q, k, v, a_bank, b_bank, rel, keep, E
+
+
+def bench_xla_segment(q, k, v, a_bank, b_bank, rel, keep, E):
+    B, H, N, Dh = q.shape
+    src = np.zeros((B, E), np.int32)
+    dst = np.zeros((B, E), np.int32)
+    erel = np.zeros((B, E), np.int32)
+    emask = np.zeros((B, E), bool)
+    for b in range(B):
+        ii, jj = np.nonzero(keep[b])
+        n = len(ii)
+        dst[b, :n], src[b, :n] = ii, jj
+        erel[b, :n] = rel[b, ii, jj]
+        emask[b, :n] = True
+    src, dst, erel, emask = map(jnp.asarray, (src, dst, erel, emask))
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(q, iters):
+        def body(i, q):
+            out = sparse_relation_attention(
+                q, k, v, a_bank, b_bank, src, dst, erel, emask)
+            return q + (1e-6 * out.sum()).astype(q.dtype)
+        return jax.lax.fori_loop(0, iters, body, q)
+
+    return _marginal(loop, q, lo=2, hi=8)
+
+
+def bench_block_kernel(q, k, v, a_bank, b_bank, rel, keep):
+    tsrc, trel = pack_block_sparse(keep, rel)
+    tsrc, trel = jnp.asarray(tsrc), jnp.asarray(trel)
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(q, iters):
+        def body(i, q):
+            out = block_sparse_relation_attention(
+                q, k, v, a_bank, b_bank, tsrc, trel)
+            return q + (1e-6 * out.sum()).astype(q.dtype)
+        return jax.lax.fori_loop(0, iters, body, q)
+
+    return _marginal(loop, q, lo=4, hi=16), int(tsrc.shape[2])
+
+
+def main():
+    q, k, v, a_bank, b_bank, rel, keep, E = banded_case()
+    B, H, N, Dh = q.shape
+    edges = int(keep.sum())
+
+    t_xla = bench_xla_segment(q, k, v, a_bank, b_bank, rel, keep, E)
+    t_blk, smax = bench_block_kernel(q, k, v, a_bank, b_bank, rel, keep)
+
+    # edge-granular HBM roofline (f32): 5 row reads + ~3 score touches
+    bytes_per_edge_head = (2 + 2 + 1) * Dh * 4 + 12
+    sol_edge_head = PEAK_HBM_BPS / bytes_per_edge_head
+
+    out = {
+        "metric": "sparse_relation_attention_edges_per_s",
+        "shape": {"B": B, "H": H, "N": N, "Dh": Dh,
+                  "P": int(a_bank.shape[0]), "edges": edges,
+                  "block_smax": smax, "pattern": "banded(1 tile), d=0.5"},
+        "xla_segment_ms": round(t_xla * 1e3, 3),
+        "block_kernel_ms": round(t_blk * 1e3, 3),
+        "xla_edges_per_s": round(edges / t_xla, 1),
+        "block_edges_per_s": round(edges / t_blk, 1),
+        "kernel_speedup": round(t_xla / t_blk, 2),
+        "edge_granular_roofline_edge_head_per_s": round(sol_edge_head, 1),
+        "xla_roofline_frac": round((edges * H / t_xla) / sol_edge_head, 4),
+        "block_roofline_frac": round((edges * H / t_blk) / sol_edge_head, 4),
+        "note": ("roofline is for a perfect EDGE-granular implementation; "
+                 "the block kernel does ~1/density more multiply work per "
+                 "kept edge but avoids all serialized gathers/scatters"),
+        "device": str(jax.devices()[0]),
+    }
+    path = os.path.join(os.path.dirname(__file__), "sparse_roofline.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -105,6 +105,11 @@ class GraphBatch:
     edge_dst: Optional[np.ndarray] = None   # [B, S, S, Ec] int32
     edge_rel: Optional[np.ndarray] = None   # [B, S, S, Ec] int32 bank rows
     edge_mask: Optional[np.ndarray] = None  # [B, S, S, Ec] bool
+    # block-sparse tile layout for the Pallas SpMM/SDDMM kernel (built when
+    # batchify is called with build_block_tiles=True): 128x128 node tiles,
+    # -1 = padding / dropped pair (see gtos_tpu.ops.block_sparse)
+    tile_src: Optional[np.ndarray] = None   # [B, Td, Smax] int32
+    tile_rel: Optional[np.ndarray] = None   # [B, Td, Smax, 128, 128] int32
     oov_lists: List[List[str]] = dataclasses.field(default_factory=list)
     meta: List[Optional[dict]] = dataclasses.field(default_factory=list)
 
@@ -144,6 +149,7 @@ def batchify(
     build_edges: bool = False,
     cp_shards: int = 1,
     sparse_khop: int = 0,
+    build_block_tiles: bool = False,
 ) -> GraphBatch:
     """Assemble one static-shape GraphBatch from preprocessed instances.
 
@@ -271,9 +277,21 @@ def batchify(
             rel_bank[p, k] = relation_vocab.encode(lbl)
 
     edge_arrays = {}
-    if build_edges:
-        edge_arrays = _build_edge_cells(
+    if build_edges or build_block_tiles:
+        edge_arrays, keep = _build_edge_cells(
             concept_mask, rel_index, bank_paths, spec, cp_shards, sparse_khop)
+        if build_block_tiles:
+            from gtos_tpu.ops.block_sparse import TILE, pack_block_sparse
+            Np = -(-N // TILE) * TILE
+            keep_p = np.zeros((B, Np, Np), bool)
+            keep_p[:, :N, :N] = keep
+            rel_p = np.zeros((B, Np, Np), np.int32)
+            rel_p[:, :N, :N] = rel_index
+            ts, tr = pack_block_sparse(keep_p, rel_p)
+            edge_arrays = dict(edge_arrays, tile_src=ts, tile_rel=tr)
+        if not build_edges:
+            edge_arrays = {k: v for k, v in edge_arrays.items()
+                           if k.startswith("tile_")}
 
     return GraphBatch(
         **edge_arrays,
@@ -358,4 +376,5 @@ def _build_edge_cells(concept_mask, rel_index, bank_paths, spec: BucketSpec,
         flat(edst[b])[cell, pos] = ii % nl
         flat(erel[b])[cell, pos] = rel_index[b, ii, jj]
         flat(emask[b])[cell, pos] = True
-    return dict(edge_src=esrc, edge_dst=edst, edge_rel=erel, edge_mask=emask)
+    return (dict(edge_src=esrc, edge_dst=edst, edge_rel=erel,
+                 edge_mask=emask), keep)

@@ -71,6 +71,7 @@ class DataLoader:
         build_edges: bool = False,
         cp_shards: int = 1,
         sparse_khop: int = 0,
+        build_block_tiles: bool = False,
     ):
         self.instances = list(instances)
         self.vocabs = dict(
@@ -90,6 +91,7 @@ class DataLoader:
         self.build_edges = build_edges
         self.cp_shards = cp_shards
         self.sparse_khop = sparse_khop
+        self.build_block_tiles = build_block_tiles
 
     def _cost(self, inst: Instance) -> int:
         return max(len(inst.target) + 1, len(inst.concepts) + 1)
@@ -151,6 +153,7 @@ class DataLoader:
                 batch_size_bucket=bsz, for_train=self.for_train,
                 build_edges=self.build_edges, cp_shards=self.cp_shards,
                 sparse_khop=self.sparse_khop,
+                build_block_tiles=self.build_block_tiles,
             ), group
         except AssertionError:
             if len(group) == 1:

@@ -61,7 +61,11 @@ def main(argv=None):
                     batch_size_tokens=args.batch_size_tokens,
                     for_train=False,
                     spec=BucketSpec().for_model_max_oov(model_cfg.max_oov),
-                    build_edges=(model_cfg.attention_impl == "sparse"),
+                    build_edges=(model_cfg.attention_impl == "sparse"
+                                 or model_cfg.attention_impl.startswith(
+                                     "block_sparse")),
+                    build_block_tiles=model_cfg.attention_impl.startswith(
+                        "block_sparse"),
                     sparse_khop=model_cfg.sparse_khop)
 
     # Restore parameters. The opt-state template must mirror the TRAINING

@@ -178,11 +178,13 @@ class Generator(nn.Module):
 
 
 def batch_edges(batch: Dict[str, jnp.ndarray]):
-    """Extract the sparse-encoder edge tuple from a batch dict, if present."""
+    """Extract the sparse-encoder edge arrays from a batch dict, if present
+    (COO cells for impl='sparse'; plus block tiles for 'block_sparse')."""
     if "edge_src" not in batch:
         return None
-    return (batch["edge_src"], batch["edge_dst"], batch["edge_rel"],
-            batch["edge_mask"])
+    keys = ("edge_src", "edge_dst", "edge_rel", "edge_mask", "tile_src",
+            "tile_rel")
+    return {k: batch[k] for k in keys if k in batch}
 
 
 def _scatter_add_last(ext, idx, vals):

@@ -12,7 +12,7 @@ axis via the ring schedule) via `impl='sparse'` + edge tensors.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -22,9 +22,10 @@ from gtos_tpu.models.components import (
 )
 from gtos_tpu.ops.attention import bank_relation_attention
 
-# edge tensors as passed through the stack: (src, dst, rel, mask), each
-# [B, S, S, Ec] in the batchify cell layout
-EdgeTuple = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
+# edge arrays as passed through the stack: edge_src/edge_dst/edge_rel/
+# edge_mask [B, S, S, Ec] cell layout, plus tile_src/tile_rel for the
+# block-sparse kernel (see gtos_tpu.models.generator.batch_edges)
+EdgeDict = Dict[str, jnp.ndarray]
 
 
 class RelationMultiheadAttention(nn.Module):
@@ -50,7 +51,7 @@ class RelationMultiheadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, rel_vecs, rel_index, node_mask,
-                 edges: Optional[EdgeTuple] = None):
+                 edges: Optional[EdgeDict] = None):
         """x: [B,N,D]; rel_vecs: [P,Dr]; rel_index: [B,N,N]; node_mask: [B,N]."""
         H, Dh = self.heads, self.d_model // self.heads
         q = split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(x), H)
@@ -60,9 +61,11 @@ class RelationMultiheadAttention(nn.Module):
         P = ab.shape[0]
         a_bank = ab[:, : self.d_model].reshape(P, H, Dh)
         b_bank = ab[:, self.d_model:].reshape(P, H, Dh)
-        if self.impl == "sparse":
+        if self.impl in ("sparse", "block_sparse",
+                         "block_sparse_interpret"):
             assert edges is not None, (
-                "impl='sparse' needs edge tensors (batchify build_edges)")
+                f"impl={self.impl!r} needs edge tensors (batchify "
+                "build_edges / build_block_tiles)")
             out = self._sparse(q, k, v, a_bank, b_bank, edges)
         elif self.impl in ("pallas", "pallas_interpret"):
             from gtos_tpu.ops.pallas import relation_attention_trainable
@@ -75,8 +78,9 @@ class RelationMultiheadAttention(nn.Module):
         return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(
             merge_heads(out.astype(self.dtype)))
 
-    def _sparse(self, q, k, v, a_bank, b_bank, edges: EdgeTuple):
-        src, dst, rel, mask = edges
+    def _sparse(self, q, k, v, a_bank, b_bank, edges: EdgeDict):
+        src, dst, rel, mask = (edges["edge_src"], edges["edge_dst"],
+                               edges["edge_rel"], edges["edge_mask"])
         if self.cp_mesh is not None and \
                 self.cp_mesh.shape.get(self.cp_axis, 1) > 1:
             from gtos_tpu.parallel.ring_attention import (
@@ -85,11 +89,20 @@ class RelationMultiheadAttention(nn.Module):
             return ring_sparse_relation_attention(
                 self.cp_mesh, q, k, v, a_bank, b_bank,
                 src, dst, rel, mask, axis_name=self.cp_axis)
-        from gtos_tpu.ops.sparse_relation import (
-            flatten_edge_cells, sparse_relation_attention,
-        )
+        from gtos_tpu.ops.sparse_relation import flatten_edge_cells
         fsrc, fdst, frel, fmask = flatten_edge_cells(
             src, dst, rel, mask, num_nodes=q.shape[2])
+        if self.impl.startswith("block_sparse"):
+            # Pallas tile-kernel forward, XLA segment backward on the same
+            # edge set (custom_vjp)
+            from gtos_tpu.ops.pallas.block_sparse_attention import (
+                block_sparse_relation_attention_trainable,
+            )
+            return block_sparse_relation_attention_trainable(
+                q, k, v, a_bank, b_bank, edges["tile_src"],
+                edges["tile_rel"], fsrc, fdst, frel, fmask,
+                interpret=self.impl.endswith("_interpret"))
+        from gtos_tpu.ops.sparse_relation import sparse_relation_attention
         return sparse_relation_attention(
             q, k, v, a_bank, b_bank, fsrc, fdst, frel, fmask)
 
@@ -106,7 +119,7 @@ class GraphTransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, rel_vecs, rel_index, node_mask, deterministic=True,
-                 edges: Optional[EdgeTuple] = None):
+                 edges: Optional[EdgeDict] = None):
         attn = RelationMultiheadAttention(
             self.d_model, self.heads, dtype=self.dtype,
             impl=self.impl, cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
@@ -134,7 +147,7 @@ class GraphTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, rel_vecs, rel_index, node_mask, deterministic=True,
-                 edges: Optional[EdgeTuple] = None):
+                 edges: Optional[EdgeDict] = None):
         for i in range(self.layers):
             x = GraphTransformerLayer(
                 self.d_model, self.d_ff, self.heads, self.dropout,

@@ -1,0 +1,249 @@
+"""Pallas TPU kernel: block-sparse relation-aware attention (SpMM/SDDMM).
+
+The TPU-native answer to "dense masked matmul -> Pallas SpMM/SDDMM"
+(BASELINE.json north_star): per-edge gather/scatter serializes on TPU, so
+the unit of sparsity here is a 128x128 NODE TILE — the MXU's natural
+granularity. The host packs the kept-pair set into nonempty
+(dst-tile, src-tile) blocks (gtos_tpu.ops.block_sparse); the kernel
+
+  * walks grid (batch, dst_tile, block_slot) with the src-tile id
+    SCALAR-PREFETCHED, so Pallas's pipeline double-buffers the k/v source
+    tiles straight from HBM by data-dependent index — the SDDMM of block s
+    overlaps the DMA of block s+1;
+  * computes each block DENSELY: q.k^T on the MXU plus the relation terms
+    via the same bank-chunk lane-shuffle gathers as the dense fused kernel
+    (relation_attention.py), with the t4 term folded into an augmented
+    head-dim lane;
+  * masks dropped pairs (rel < 0) and streams the softmax
+    flash-attention-style across a dst tile's blocks (running max /
+    denominator / numerator in VMEM scratch, persisted across the
+    sequential grid) — empty blocks are never visited, so work and HBM
+    traffic are O(nonempty_blocks * T^2), not O(N^2).
+
+Semantics match ops.sparse_relation.sparse_relation_attention on the same
+kept-pair set: rows with no kept incoming pair return 0.
+
+Shapes: q,k,v [B,H,N,Dh]; a_bank/b_bank [P,H,Dh]; tile_src [B,Td,Smax]
+int32 (-1 pad); tile_rel [B,Td,Smax,T,T] int32 (-1 = dropped pair).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+T = 128  # node tile (MXU systolic dimension)
+
+
+def _kernel(tile_src_ref, q_ref, k_ref, v_ref, ab_ref, bb_ref, rel_ref,
+            out_ref, m_sc, l_sc, acc_sc, *, scale, smax):
+    """One program per (b, dst_tile, block_slot).
+
+    q_ref: [1,H,T,Dh]; k/v_ref: [1,H,T,Dh] (the PREFETCH-INDEXED src tile);
+    ab/bb_ref: [H,P,Dh] resident banks; rel_ref: [1,1,1,T,T];
+    scratch: m/l [H,T,1] f32, acc [H,T,Dh] f32 (persist across the grid's
+    sequential block_slot dimension)."""
+    b, td, s = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    H, P, Dh = ab_ref.shape
+    f32 = jnp.float32
+
+    @pl.when(s == 0)
+    def _():
+        m_sc[...] = jnp.full_like(m_sc, NEG_INF)
+        l_sc[...] = jnp.zeros_like(l_sc)
+        acc_sc[...] = jnp.zeros_like(acc_sc)
+
+    src_id = tile_src_ref[b, td, s]
+
+    @pl.when(src_id >= 0)
+    def _():
+        rel = rel_ref[0, 0, 0]                        # [T, T] int32
+        pair_ok = rel >= 0
+        relc = jnp.where(pair_ok, rel, 0)
+        hi, lo = relc >> 7, jnp.bitwise_and(relc, 127)
+        hiT = hi.T
+        loT = lo.T
+        mask_add = jnp.where(pair_ok, 0.0, NEG_INF)
+
+        for h in range(H):
+            qh = q_ref[0, h]                          # [T, Dh]
+            kh = k_ref[0, h]
+            e2 = jnp.zeros((T, T), f32)
+            e3t = jnp.zeros((T, T), f32)
+            for c in range(P // 128):
+                bc = bb_ref[h, c * 128:(c + 1) * 128, :]
+                ac = ab_ref[h, c * 128:(c + 1) * 128, :]
+                t2c = jax.lax.dot_general(
+                    qh, bc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                t3c = jax.lax.dot_general(
+                    kh, ac, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                e2 = jnp.where(hi == c, jnp.take_along_axis(
+                    t2c, lo, axis=1, mode="promise_in_bounds"), e2)
+                e3t = jnp.where(hiT == c, jnp.take_along_axis(
+                    t3c, loT, axis=1, mode="promise_in_bounds"), e3t)
+            t1 = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            e = (t1 + e2 + e3t.T) * scale + mask_add   # [T, T]
+
+            # flash update for this dst tile
+            m_old = m_sc[h]                            # [T, 1]
+            m_new = jnp.maximum(m_old, jnp.max(e, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.where(pair_ok, jnp.exp(e - m_new), 0.0)
+            l_sc[h] = l_sc[h] * alpha + jnp.sum(p, -1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, h],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32)
+            acc_sc[h] = acc_sc[h] * alpha + pv
+            m_sc[h] = m_new
+
+    @pl.when(s == smax - 1)
+    def _():
+        l = l_sc[...]
+        out_ref[0] = jnp.where(
+            l > 0, acc_sc[...] / jnp.where(l > 0, l, 1.0), 0.0
+        ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "scale"))
+def block_sparse_relation_attention(q, k, v, a_bank, b_bank, tile_src,
+                                    tile_rel, interpret: bool = False,
+                                    scale: float = None):
+    """Block-sparse relation attention. Returns out [B,H,N,Dh] f32-accurate
+    in v.dtype; rows with no kept incoming pair are 0."""
+    B, H, N, Dh = q.shape
+    P = a_bank.shape[0]
+    Bt, Td, Smax = tile_src.shape
+    assert Bt == B and Td * T == ((N + T - 1) // T) * T // T * T or True
+    if scale is None:
+        scale = Dh ** -0.5
+    f32 = jnp.float32
+
+    # pad nodes to the tile size; padded nodes have no kept pairs
+    N_pad = Td * T
+    if N_pad != N:
+        pad = [(0, 0), (0, 0), (0, N_pad - N), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+
+    # head-dim padding with the t4 fold in the augmented lane (see
+    # relation_attention.py fused_relation_attention_inline)
+    Dh_pad = -(-(Dh + 1) // 128) * 128
+    P_pad = -(-P // 128) * 128
+    t4 = jnp.einsum("phd,phd->ph", a_bank.astype(f32), b_bank.astype(f32))
+    qp = jnp.pad(q, [(0, 0)] * 3 + [(0, Dh_pad - Dh)])
+    qp = qp.at[..., Dh].set(1.0)
+    kp = jnp.pad(k, [(0, 0)] * 3 + [(0, Dh_pad - Dh)])
+    vp = jnp.pad(v, [(0, 0)] * 3 + [(0, Dh_pad - Dh)])
+    abT = jnp.pad(jnp.swapaxes(a_bank, 0, 1),
+                  [(0, 0), (0, P_pad - P), (0, Dh_pad - Dh)])
+    bbT = jnp.pad(jnp.swapaxes(b_bank, 0, 1),
+                  [(0, 0), (0, P_pad - P), (0, Dh_pad - Dh)])
+    bbT = bbT.at[:, :P, Dh].set(t4.T.astype(bbT.dtype))
+
+    grid = (B, Td, Smax)
+    # clamp the prefetched src ids for the index map (skipped via pl.when)
+    src_clamped = jnp.maximum(tile_src, 0)
+
+    def kv_index(b, td, s, src_ref):
+        return (b, 0, src_ref[b, td, s], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, H, T, Dh_pad), lambda b, td, s, sr: (b, 0, td, 0),
+                         memory_space=pltpu.VMEM),                    # q
+            pl.BlockSpec((1, H, T, Dh_pad), kv_index,
+                         memory_space=pltpu.VMEM),                    # k
+            pl.BlockSpec((1, H, T, Dh_pad), kv_index,
+                         memory_space=pltpu.VMEM),                    # v
+            pl.BlockSpec((H, P_pad, Dh_pad), lambda b, td, s, sr: (0, 0, 0),
+                         memory_space=pltpu.VMEM),                    # a_bank
+            pl.BlockSpec((H, P_pad, Dh_pad), lambda b, td, s, sr: (0, 0, 0),
+                         memory_space=pltpu.VMEM),                    # b_bank
+            pl.BlockSpec((1, 1, 1, T, T), lambda b, td, s, sr: (b, td, s, 0, 0),
+                         memory_space=pltpu.VMEM),                    # rel
+        ],
+        out_specs=pl.BlockSpec((1, H, T, Dh_pad),
+                               lambda b, td, s, sr: (b, 0, td, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((H, T, 1), f32),        # running max
+            pltpu.VMEM((H, T, 1), f32),        # running denominator
+            pltpu.VMEM((H, T, Dh_pad), f32),   # running numerator
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, smax=Smax),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, N_pad, Dh_pad), v.dtype),
+        interpret=interpret,
+    )(src_clamped, qp, kp, vp, abT, bbT, tile_rel)
+    return out[:, :, :N, :Dh]
+
+
+# ---------------------------------------------------------------------------
+# Trainable wrapper: Pallas block-sparse forward, XLA sparse backward.
+#
+# The forward kernel streams the softmax, so the cheapest exact backward is
+# to recompute through the O(E) XLA segment pipeline (whose VJP XLA already
+# knows) on the SAME kept-pair set — the caller passes the flat [B, E] COO
+# form alongside the tile form (batchify emits both; they are two layouts
+# of one edge set, asserted equal in tests).
+# ---------------------------------------------------------------------------
+
+
+def _xla_sparse(q, k, v, a_bank, b_bank, src, dst, rel, mask):
+    from gtos_tpu.ops.sparse_relation import sparse_relation_attention
+    return sparse_relation_attention(
+        q, k, v, a_bank, b_bank, src, dst, rel, mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _blk_vjp(interpret, q, k, v, a_bank, b_bank, tile_src, tile_rel,
+             src, dst, rel, mask):
+    out = block_sparse_relation_attention(
+        q, k, v, a_bank, b_bank, tile_src, tile_rel, interpret=interpret)
+    return out.astype(jnp.float32)
+
+
+def _blk_fwd(interpret, q, k, v, a_bank, b_bank, tile_src, tile_rel,
+             src, dst, rel, mask):
+    out = _blk_vjp(interpret, q, k, v, a_bank, b_bank, tile_src, tile_rel,
+                   src, dst, rel, mask)
+    return out, (q, k, v, a_bank, b_bank, src, dst, rel, mask)
+
+
+def _blk_bwd(interpret, res, g):
+    import numpy as _np
+    q, k, v, a_bank, b_bank, src, dst, rel, mask = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, ab, bb: _xla_sparse(q, k, v, ab, bb, src, dst, rel,
+                                            mask),
+        q, k, v, a_bank, b_bank)
+    gq, gk, gv, gab, gbb = vjp(g)
+    zi = lambda x: _np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
+    return (gq, gk, gv, gab, gbb, zi(src), zi(src), zi(src), zi(dst),
+            zi(rel), zi(mask))
+
+
+_blk_vjp.defvjp(_blk_fwd, _blk_bwd)
+
+
+def block_sparse_relation_attention_trainable(
+        q, k, v, a_bank, b_bank, tile_src, tile_rel, src, dst, rel, mask,
+        *, interpret: bool = False):
+    """Differentiable block-sparse relation attention: Pallas tile kernel
+    forward, XLA segment-pipeline backward over the identical edge set
+    (src/dst/rel/mask are the flat [B, E] COO form)."""
+    return _blk_vjp(interpret, q, k, v, a_bank, b_bank, tile_src, tile_rel,
+                    src, dst, rel, mask)

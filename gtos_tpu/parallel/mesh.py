@@ -47,7 +47,7 @@ def replicate(mesh: Mesh) -> NamedSharding:
 # relation bank) is batch-global and replicated.
 _BATCH_LEADING = (
     "concept", "concept_char", "concept_mask", "rel_index", "token_in",
-    "token_out", "token_mask", "cp_seq", "copy_mask",
+    "token_out", "token_mask", "cp_seq", "copy_mask", "tile_src", "tile_rel",
 )
 # sparse edge cells [B, S_dst, S_src, Ec]: batch over 'data', destination
 # block over 'graph' (each device owns its node block's incoming edges)

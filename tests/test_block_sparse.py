@@ -1,0 +1,147 @@
+"""Block-sparse Pallas relation attention: packing + kernel parity
+(interpreter mode on the CPU mesh; the same kernel compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtos_tpu.ops.attention import bank_relation_scores
+from gtos_tpu.ops.block_sparse import TILE, pack_block_sparse
+from gtos_tpu.ops.pallas.block_sparse_attention import (
+    block_sparse_relation_attention,
+)
+
+
+def _case(key, B, H, N, Dh, P, p_pair, block_pattern=None, seed=0):
+    ks = jax.random.split(key, 6)
+    q, k, v = (jax.random.normal(kk, (B, H, N, Dh)) for kk in ks[:3])
+    a_bank = jax.random.normal(ks[3], (P, H, Dh)) * 0.5
+    b_bank = jax.random.normal(ks[4], (P, H, Dh)) * 0.5
+    rel_index = np.asarray(jax.random.randint(ks[5], (B, N, N), 0, P))
+    rng = np.random.default_rng(seed)
+    keep = rng.random((B, N, N)) < p_pair
+    if block_pattern is not None:
+        # zero whole node tiles to create genuinely empty blocks
+        Tn = N // TILE if N >= TILE else 1
+        for b in range(B):
+            for d in range(max(Tn, 1)):
+                for s in range(max(Tn, 1)):
+                    if not block_pattern(b, d, s):
+                        keep[b, d * TILE:(d + 1) * TILE,
+                             s * TILE:(s + 1) * TILE] = False
+    for i in range(N):
+        keep[:, i, i] = True  # self pairs always kept
+    return q, k, v, a_bank, b_bank, rel_index, keep
+
+
+def _dense_masked(q, k, v, a_bank, b_bank, rel_index, keep):
+    e = bank_relation_scores(q, k, a_bank, b_bank, jnp.asarray(rel_index))
+    e = jnp.where(jnp.asarray(keep)[:, None], e, -1e9)
+    attn = jax.nn.softmax(e, axis=-1)
+    attn = jnp.where(jnp.asarray(keep)[:, None], attn, 0.0)
+    return jnp.einsum("bhij,bhjd->bhid", attn, v.astype(jnp.float32))
+
+
+def test_pack_block_sparse_layout():
+    rng = np.random.default_rng(0)
+    B, N, P = 2, 256, 37
+    keep = rng.random((B, N, N)) < 0.02
+    rel = rng.integers(0, P, (B, N, N)).astype(np.int32)
+    tile_src, tile_rel = pack_block_sparse(keep, rel)
+    Td = N // TILE
+    assert tile_src.shape[:2] == (B, Td)
+    assert tile_rel.shape == (*tile_src.shape, TILE, TILE)
+    # every kept pair appears exactly once with its rel id
+    total = 0
+    for b in range(B):
+        for d in range(Td):
+            for i, s in enumerate(tile_src[b, d]):
+                if s < 0:
+                    assert (tile_rel[b, d, i] == -1).all()
+                    continue
+                blk = tile_rel[b, d, i]
+                kb = keep[b, d * TILE:(d + 1) * TILE,
+                          s * TILE:(s + 1) * TILE]
+                rb = rel[b, d * TILE:(d + 1) * TILE,
+                         s * TILE:(s + 1) * TILE]
+                np.testing.assert_array_equal(blk >= 0, kb)
+                np.testing.assert_array_equal(blk[kb], rb[kb])
+                total += int(kb.sum())
+    assert total == int(keep.sum())
+
+
+@pytest.mark.parametrize("N,p_pair", [(128, 1.0), (128, 0.3), (256, 0.05)])
+def test_kernel_matches_dense_masked(N, p_pair):
+    B, H, Dh, P = 2, 2, 32, 200
+    q, k, v, a_bank, b_bank, rel_index, keep = _case(
+        jax.random.PRNGKey(0), B, H, N, Dh, P, p_pair)
+    tile_src, tile_rel = pack_block_sparse(keep, rel_index)
+    out = block_sparse_relation_attention(
+        q, k, v, a_bank, b_bank, jnp.asarray(tile_src),
+        jnp.asarray(tile_rel), interpret=True)
+    ref = _dense_masked(q, k, v, a_bank, b_bank, rel_index, keep)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_kernel_skips_empty_blocks():
+    """Band-diagonal block pattern: blocks off the diagonal band are empty
+    and Smax shrinks accordingly (the packer's whole point)."""
+    B, H, N, Dh, P = 1, 2, 512, 32, 150
+    q, k, v, a_bank, b_bank, rel_index, keep = _case(
+        jax.random.PRNGKey(1), B, H, N, Dh, P, 0.2,
+        block_pattern=lambda b, d, s: abs(d - s) <= 1)
+    tile_src, tile_rel = pack_block_sparse(keep, rel_index)
+    Td = N // TILE
+    assert tile_src.shape[2] <= 3 < Td  # banded: at most 3 blocks/dst tile
+    out = block_sparse_relation_attention(
+        q, k, v, a_bank, b_bank, jnp.asarray(tile_src),
+        jnp.asarray(tile_rel), interpret=True)
+    ref = _dense_masked(q, k, v, a_bank, b_bank, rel_index, keep)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_model_block_sparse_matches_sparse():
+    """Generator with attention_impl='block_sparse_interpret' (kernel fwd
+    under the interpreter, XLA sparse bwd) == attention_impl='sparse' in
+    loss AND grads."""
+    import dataclasses as dc
+
+    from gtos_tpu.data import batchify
+    from gtos_tpu.data.dataloader import preprocess
+    from gtos_tpu.data.extract import build_vocabs
+    from gtos_tpu.data.synthetic import synthetic_amr_corpus
+    from gtos_tpu.models import Generator
+    from gtos_tpu.utils.config import ModelConfig
+
+    graphs, targets = synthetic_amr_corpus(6, seed=9, min_nodes=4,
+                                           max_nodes=9)
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    batch = batchify(instances[:4], tv, cv, rv, chv, lm, batch_size_bucket=4,
+                     build_edges=True, build_block_tiles=True)
+    assert batch.tile_src is not None and batch.tile_rel is not None
+    base = dict(
+        token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
+        char_vocab=len(chv), d_model=32, d_ff=64, heads=2, enc_layers=1,
+        dec_layers=1, char_dim=8, char_filters=16, rel_emb_dim=8,
+        rel_hidden=16, max_oov=16, max_target_len=32, dropout=0.0)
+    m_sparse = Generator(ModelConfig(**base, attention_impl="sparse"))
+    m_block = Generator(ModelConfig(**base,
+                                    attention_impl="block_sparse_interpret"))
+    params = m_sparse.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch.arrays(), deterministic=True)
+    l_s, _ = m_sparse.apply(params, batch.arrays(), deterministic=True)
+    l_b, _ = m_block.apply(params, batch.arrays(), deterministic=True)
+    np.testing.assert_allclose(float(l_b), float(l_s), rtol=1e-5)
+    g_s = jax.grad(lambda p: m_sparse.apply(
+        p, batch.arrays(), deterministic=True)[0])(params)
+    g_b = jax.grad(lambda p: m_block.apply(
+        p, batch.arrays(), deterministic=True)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
