@@ -70,12 +70,24 @@ def _loop(q, k, v, a_bank, b_bank, idx, mask, iters, mode):
             out = _dense_xla(q, k, v, a_bank, b_bank, idx, mask)
         return out
 
+    def fwd_all(q, k, v, a_bank, b_bank):
+        if mode == "pallas_grad":
+            return relation_attention_trainable(
+                q, k, v, a_bank, b_bank, idx, mask)
+        return _dense_xla(q, k, v, a_bank, b_bank, idx, mask)
+
     def body(i, q):
         if mode.endswith("_grad"):
             # fwd + bwd: the training-step shape of the op (VERDICT r1
-            # weak #6 — bench must cover the backward kernel too)
-            g = jax.grad(lambda qq: fwd(qq).astype(jnp.float32).sum())(q)
-            return q + (1e-6 * g.sum()).astype(q.dtype)
+            # weak #6). Differentiate wrt ALL tensor inputs — grads wrt
+            # the relation banks are where the gather transposes
+            # (scatter-adds) live; wrt q alone XLA DCEs them away and the
+            # comparison flatters the baseline.
+            g = jax.grad(
+                lambda *a: fwd_all(*a).astype(jnp.float32).sum(),
+                argnums=(0, 1, 2, 3, 4))(q, k, v, a_bank, b_bank)
+            upd = sum((1e-6 * x.sum()).astype(q.dtype) for x in g)
+            return q + upd
         return q + (1e-6 * fwd(q).sum()).astype(q.dtype)
 
     return jax.lax.fori_loop(0, iters, body, q)

@@ -86,7 +86,12 @@ def sparse_relation_attention(q, k, v, a_bank, b_bank, src, dst, rel, mask,
     denom = _segment_op(jax.ops.segment_sum, p, dst, N)      # [B,H,N]
     vs = _gather_nodes(v, src).astype(jnp.float32)           # [B,H,E,D]
     num = _segment_op(jax.ops.segment_sum, p[..., None] * vs, dst, N)
-    return num / (denom[..., None] + 1e-20)
+    # guarded division: `num / (denom + eps)` breaks under autodiff — the
+    # VJP squares the denominator and eps^2 underflows f32 to 0, yielding
+    # 0/0 = NaN for empty segments (caught by jax_debug_nans in tests)
+    has_in = denom > 0
+    safe = jnp.where(has_in, denom, 1.0)[..., None]
+    return jnp.where(has_in[..., None], num / safe, 0.0)
 
 
 def flatten_edge_cells(edge_src, edge_dst, edge_rel, edge_mask,

@@ -96,7 +96,11 @@ def _ring_body(q, k, v, a_bank, b_bank, esrc, edst, erel, emask, *,
         if t < S - 1:
             k_buf, v_buf = k_nxt, v_nxt
 
-    return o / (l[..., None] + 1e-20)
+    # guarded division (see ops/sparse_relation.py: eps^2 underflows in the
+    # VJP and poisons gradients of empty segments with NaN)
+    has_in = l > 0
+    safe = jnp.where(has_in, l, 1.0)[..., None]
+    return jnp.where(has_in[..., None], o / safe, 0.0)
 
 
 def ring_sparse_relation_attention(
