@@ -70,7 +70,6 @@ def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, t2_hbm, t3_hbm, idx_ref,
     idxT32 = idxT_ref[:, 0, :]
     hi_a, lo_a = idx32 >> 7, jnp.bitwise_and(idx32, 127)
     hi_t, lo_t = idxT32 >> 7, jnp.bitwise_and(idxT32, 127)
-    iota_p = jax.lax.broadcasted_iota(jnp.int32, (N, P), 1)
 
     # ---- phase A: recompute attn, softmax VJP, content grads ----
     dma(t2_hbm, 0, 0, 0).start()
@@ -119,23 +118,39 @@ def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, t2_hbm, t3_hbm, idx_ref,
         ge_ref[:, h, :] = ge
         geT_ref[:, h, :] = ge.T
 
-    # ---- phases B/C: g_t[r] = OH_r^T @ G_r (one-hot matmul scatter),
-    # staged in VMEM then DMA'd to the HBM output plane ----
+    # ---- phases B/C: the gather's transpose, g_t[r, p] = sum_j
+    # ge[r, j] [idx[r, j] == p], as one-hot matmuls on the MXU (Mosaic has
+    # no vector scatter). Chunk decomposition: each j lands in exactly one
+    # 128-lane chunk (hi = idx >> 7), so the one-hot only needs the
+    # WITHIN-CHUNK lane (lo = idx & 127) — a [N, 128] one-hot instead of
+    # [N, P] (P/128 x less one-hot build than the naive form), and all
+    # chunks' contractions stack into ONE [(P/128)*H, N] @ [N, 128] matmul
+    # per row. Staged in VMEM then DMA'd to the HBM output plane. ----
+    n_chunks = P // 128
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+
     def scatter_pass(index_ref, ge_scratch, out_hbm):
+        dt = gt_scratch.dtype  # bf16 in production: MXU-speed matmuls
+
         def body(r, _):
             idx_row = index_ref[r][:, :N]                     # [1, N]
-            # matmul operand dtype follows the table dtype (bf16 in
-            # production for MXU speed, f32 when testing in f32)
-            dt = gt_scratch.dtype
-            oh = (iota_p == jnp.broadcast_to(
-                idx_row.reshape(N, 1), (N, P))).astype(dt)
-            # G_r[j, h] = ge_scratch[r, h, j] (leading-dim dynamic index)
+            lo = jnp.bitwise_and(idx_row, 127).reshape(N, 1)
+            hi = idx_row >> 7                                 # [1, N]
+            oh = (iota_lane == jnp.broadcast_to(
+                lo, (N, 128))).astype(dt)                     # [N(j), 128]
             g_r = ge_scratch[r]                               # [H, N]
+            # gm rows (c, h) = ge[h, :] masked to chunk c
+            gm = jnp.concatenate(
+                [jnp.where(hi == c, g_r, 0.0) for c in range(n_chunks)],
+                axis=0).astype(dt)                            # [C*H, N]
             gt_r = jax.lax.dot_general(
-                oh, g_r.astype(dt), (((0,), (1,)), ((), ())),
+                gm, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
-            precision=jax.lax.Precision.DEFAULT)                   # [P, H]
-            gt_scratch[r] = gt_r.T.astype(gt_scratch.dtype)   # [H, P]
+                precision=jax.lax.Precision.DEFAULT)          # [C*H, 128]
+            # de-interleave chunks back to [H, P]
+            for c in range(n_chunks):
+                gt_scratch[r, :, c * 128:(c + 1) * 128] = (
+                    gt_r[c * H:(c + 1) * H].astype(gt_scratch.dtype))
             return 0
         jax.lax.fori_loop(0, N, body, 0)
         out_dma = pltpu.make_async_copy(gt_scratch, out_hbm, out_sem)

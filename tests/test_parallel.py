@@ -201,3 +201,38 @@ def test_node_parallel_relation_attention(eight_devices):
         mesh, q, k, v, a_bank, b_bank, idx, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_impl_composes_with_dp_mesh(eight_devices):
+    """The Pallas encoder kernel must run inside the GSPMD-sharded train
+    step (batch over 'data') and match the single-device loss."""
+    import dataclasses
+
+    graphs, targets = synthetic_amr_corpus(8, seed=12, min_nodes=3,
+                                           max_nodes=6)
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    batch = batchify(instances, tv, cv, rv, chv, lm, batch_size_bucket=8)
+    arrays = batch.arrays()
+    cfg = ModelConfig(
+        token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
+        char_vocab=len(chv), d_model=32, d_ff=64, heads=2, enc_layers=1,
+        dec_layers=1, char_dim=8, char_filters=16, rel_emb_dim=8,
+        rel_hidden=16, max_oov=16, max_target_len=32, dropout=0.0,
+        attention_impl="pallas_interpret")
+    tcfg = TrainConfig(warmup_steps=100)
+    model = Generator(cfg)
+    tx = make_optimizer(tcfg, cfg.d_model)
+
+    state_a = init_state(model, tx, arrays, seed=0)
+    state_b = jax.tree_util.tree_map(lambda x: x.copy(), state_a)
+    single_step = make_train_step(model, tx)
+    state_a, m_a = single_step(state_a, arrays)
+
+    mesh = make_mesh(dp=8, mp=1, graph=1, devices=eight_devices)
+    sharded_step = make_sharded_train_step(model, tx, mesh, arrays,
+                                           example_state=state_b)
+    from gtos_tpu.parallel import shard_arrays
+    state_b, m_b = sharded_step(state_b, shard_arrays(mesh, arrays))
+    np.testing.assert_allclose(float(m_b["loss"]), float(m_a["loss"]),
+                               rtol=1e-5)
