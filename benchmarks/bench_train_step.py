@@ -31,10 +31,16 @@ def build(attention_impl: str):
     from gtos_tpu.train.trainer import init_state, make_train_step
     from gtos_tpu.utils.config import ModelConfig, TrainConfig
 
+    from gtos_tpu.graph.paths import RelationPathConfig
+
     graphs, targets = synthetic_amr_corpus(64, seed=0, min_nodes=90,
                                            max_nodes=120)
     tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
-    instances = preprocess(graphs, targets)
+    # synthetic random-labeled trees have near-zero path dedup (real AMR's
+    # Zipfian roles dedup far better); cap paths at 3 labels so a full
+    # B=32, N=128, P=4096 batch fits the bank — the bench-scale shapes
+    instances = preprocess(graphs, targets,
+                           RelationPathConfig(max_path_len=3))
     # through the real DataLoader: the relation-bank cap decides how many
     # ~100-node graphs fit one batch (bank-overflow bisect), exactly as in
     # production training
