@@ -26,9 +26,11 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from gtos_tpu.ops.block_sparse import TILE, pack_block_sparse  # noqa: E402
+from gtos_tpu.ops.block_sparse import (  # noqa: E402
+    TILE, pack_block_sparse, pack_block_sparse_src,
+)
 from gtos_tpu.ops.pallas.block_sparse_attention import (  # noqa: E402
-    block_sparse_relation_attention,
+    _blk_vjp_pallas, block_sparse_relation_attention,
 )
 from gtos_tpu.ops.sparse_relation import (  # noqa: E402
     sparse_relation_attention,
@@ -76,8 +78,8 @@ def banded_case(B=1, H=8, N=2048, Dh=64, P=2048, band=1, density=0.25,
     return q, k, v, a_bank, b_bank, rel, keep, E
 
 
-def bench_xla_segment(q, k, v, a_bank, b_bank, rel, keep, E):
-    B, H, N, Dh = q.shape
+def _flat_coo(rel, keep, E):
+    B = keep.shape[0]
     src = np.zeros((B, E), np.int32)
     dst = np.zeros((B, E), np.int32)
     erel = np.zeros((B, E), np.int32)
@@ -88,7 +90,11 @@ def bench_xla_segment(q, k, v, a_bank, b_bank, rel, keep, E):
         dst[b, :n], src[b, :n] = ii, jj
         erel[b, :n] = rel[b, ii, jj]
         emask[b, :n] = True
-    src, dst, erel, emask = map(jnp.asarray, (src, dst, erel, emask))
+    return map(jnp.asarray, (src, dst, erel, emask))
+
+
+def bench_xla_segment(q, k, v, a_bank, b_bank, rel, keep, E):
+    src, dst, erel, emask = _flat_coo(rel, keep, E)
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop(q, iters):
@@ -96,6 +102,50 @@ def bench_xla_segment(q, k, v, a_bank, b_bank, rel, keep, E):
             out = sparse_relation_attention(
                 q, k, v, a_bank, b_bank, src, dst, erel, emask)
             return q + (1e-6 * out.sum()).astype(q.dtype)
+        return jax.lax.fori_loop(0, iters, body, q)
+
+    return _marginal(loop, q, lo=2, hi=8)
+
+
+def bench_xla_fwd_bwd(q, k, v, a_bank, b_bank, rel, keep, E):
+    """Autodiff through the XLA segment pipeline (the portable backward)."""
+    src, dst, erel, emask = _flat_coo(rel, keep, E)
+
+    def loss(q, k, v, ab, bb):
+        out = sparse_relation_attention(
+            q, k, v, ab, bb, src, dst, erel, emask)
+        return jnp.sum(out * 1e-3)
+
+    grad = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(q, iters):
+        def body(i, q):
+            gs = grad(q, k, v, a_bank, b_bank)
+            return q + sum((1e-6 * g.sum()).astype(q.dtype) for g in gs)
+        return jax.lax.fori_loop(0, iters, body, q)
+
+    return _marginal(loop, q, lo=1, hi=3)
+
+
+def bench_pallas_fwd_bwd(q, k, v, a_bank, b_bank, rel, keep):
+    """Pallas forward + two-pass Pallas backward
+    (ops/pallas/block_sparse_attention_bwd.py)."""
+    tsrc, trel = map(jnp.asarray, pack_block_sparse(keep, rel))
+    tdst, trels = map(jnp.asarray, pack_block_sparse_src(keep, rel))
+
+    def loss(q, k, v, ab, bb):
+        out = _blk_vjp_pallas(False, q, k, v, ab, bb, tsrc, trel, tdst,
+                              trels)
+        return jnp.sum(out * 1e-3)
+
+    grad = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(q, iters):
+        def body(i, q):
+            gs = grad(q, k, v, a_bank, b_bank)
+            return q + sum((1e-6 * g.sum()).astype(q.dtype) for g in gs)
         return jax.lax.fori_loop(0, iters, body, q)
 
     return _marginal(loop, q, lo=2, hi=8)
@@ -123,6 +173,8 @@ def main():
 
     t_xla = bench_xla_segment(q, k, v, a_bank, b_bank, rel, keep, E)
     t_blk, smax = bench_block_kernel(q, k, v, a_bank, b_bank, rel, keep)
+    t_xla_fb = bench_xla_fwd_bwd(q, k, v, a_bank, b_bank, rel, keep, E)
+    t_blk_fb = bench_pallas_fwd_bwd(q, k, v, a_bank, b_bank, rel, keep)
 
     # edge-granular HBM roofline (f32): 5 row reads + ~3 score touches
     bytes_per_edge_head = (2 + 2 + 1) * Dh * 4 + 12
@@ -138,6 +190,10 @@ def main():
         "xla_edges_per_s": round(edges / t_xla, 1),
         "block_edges_per_s": round(edges / t_blk, 1),
         "kernel_speedup": round(t_xla / t_blk, 2),
+        "fwd_bwd_xla_ms": round(t_xla_fb * 1e3, 3),
+        "fwd_bwd_pallas_ms": round(t_blk_fb * 1e3, 3),
+        "fwd_bwd_speedup": round(t_xla_fb / t_blk_fb, 2),
+        "fwd_bwd_pallas_edges_per_s": round(edges / t_blk_fb, 1),
         "edge_granular_roofline_edge_head_per_s": round(sol_edge_head, 1),
         "xla_roofline_frac": round((edges * H / t_xla) / sol_edge_head, 4),
         "block_roofline_frac": round((edges * H / t_blk) / sol_edge_head, 4),

@@ -110,6 +110,10 @@ class GraphBatch:
     # -1 = padding / dropped pair (see gtos_tpu.ops.block_sparse)
     tile_src: Optional[np.ndarray] = None   # [B, Td, Smax] int32
     tile_rel: Optional[np.ndarray] = None   # [B, Td, Smax, 128, 128] int32
+    # src-major transpose of the tile layout, consumed by the Pallas
+    # backward kernel's dK/dV pass (see ops.block_sparse pack_block_sparse_src)
+    tile_dst: Optional[np.ndarray] = None      # [B, Ts, Smax_s] int32
+    tile_rel_src: Optional[np.ndarray] = None  # [B, Ts, Smax_s, 128, 128]
     oov_lists: List[List[str]] = dataclasses.field(default_factory=list)
     meta: List[Optional[dict]] = dataclasses.field(default_factory=list)
 
@@ -281,14 +285,18 @@ def batchify(
         edge_arrays, keep = _build_edge_cells(
             concept_mask, rel_index, bank_paths, spec, cp_shards, sparse_khop)
         if build_block_tiles:
-            from gtos_tpu.ops.block_sparse import TILE, pack_block_sparse
+            from gtos_tpu.ops.block_sparse import (
+                TILE, pack_block_sparse, pack_block_sparse_src,
+            )
             Np = -(-N // TILE) * TILE
             keep_p = np.zeros((B, Np, Np), bool)
             keep_p[:, :N, :N] = keep
             rel_p = np.zeros((B, Np, Np), np.int32)
             rel_p[:, :N, :N] = rel_index
             ts, tr = pack_block_sparse(keep_p, rel_p)
-            edge_arrays = dict(edge_arrays, tile_src=ts, tile_rel=tr)
+            td, trs = pack_block_sparse_src(keep_p, rel_p)
+            edge_arrays = dict(edge_arrays, tile_src=ts, tile_rel=tr,
+                               tile_dst=td, tile_rel_src=trs)
         if not build_edges:
             edge_arrays = {k: v for k, v in edge_arrays.items()
                            if k.startswith("tile_")}

@@ -183,7 +183,7 @@ def batch_edges(batch: Dict[str, jnp.ndarray]):
     if "edge_src" not in batch:
         return None
     keys = ("edge_src", "edge_dst", "edge_rel", "edge_mask", "tile_src",
-            "tile_rel")
+            "tile_rel", "tile_dst", "tile_rel_src")
     return {k: batch[k] for k in keys if k in batch}
 
 

@@ -93,14 +93,17 @@ class RelationMultiheadAttention(nn.Module):
         fsrc, fdst, frel, fmask = flatten_edge_cells(
             src, dst, rel, mask, num_nodes=q.shape[2])
         if self.impl.startswith("block_sparse"):
-            # Pallas tile-kernel forward, XLA segment backward on the same
-            # edge set (custom_vjp)
+            # Pallas tile-kernel forward; Pallas two-pass backward when the
+            # src-major tile layout is in the batch, else XLA segment
+            # backward on the same edge set (custom_vjp either way)
             from gtos_tpu.ops.pallas.block_sparse_attention import (
                 block_sparse_relation_attention_trainable,
             )
             return block_sparse_relation_attention_trainable(
                 q, k, v, a_bank, b_bank, edges["tile_src"],
                 edges["tile_rel"], fsrc, fdst, frel, fmask,
+                tile_dst=edges.get("tile_dst"),
+                tile_rel_src=edges.get("tile_rel_src"),
                 interpret=self.impl.endswith("_interpret"))
         from gtos_tpu.ops.sparse_relation import sparse_relation_attention
         return sparse_relation_attention(

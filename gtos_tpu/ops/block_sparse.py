@@ -55,6 +55,38 @@ def pack_block_sparse(keep: np.ndarray, rel_index: np.ndarray,
     return tile_src, tile_rel
 
 
+def pack_block_sparse_src(keep: np.ndarray, rel_index: np.ndarray,
+                          tile: int = TILE) -> Tuple[np.ndarray, np.ndarray]:
+    """Src-major transpose of pack_block_sparse, for the backward kernel's
+    dK/dV pass (which accumulates per SOURCE tile, the flash-attention
+    column-major schedule).
+
+    keep/rel_index: [B, N, N] as in pack_block_sparse. Returns
+      tile_dst [B, Ts, Smax_s] int32 — for each src tile, the dst-tile ids
+          of its nonempty blocks, -1 padded;
+      tile_rel_src [B, Ts, Smax_s, tile, tile] int32 — the TRANSPOSED
+          relation block ([src-local j, dst-local i] orientation, so the
+          kernel's per-row scatter walks source rows), -1 = dropped pair.
+    """
+    B, N, N2 = keep.shape
+    assert N == N2 and N % tile == 0, (N, N2, tile)
+    Ts = N // tile
+    blocks = keep.reshape(B, Ts, tile, Ts, tile).any(axis=(2, 4))  # [B,Td,Ts]
+    blocks_t = blocks.transpose(0, 2, 1)                           # [B,Ts,Td]
+    smax = max(1, int(blocks_t.sum(-1).max()))
+    tile_dst = np.full((B, Ts, smax), -1, np.int32)
+    tile_rel_src = np.full((B, Ts, smax, tile, tile), -1, np.int32)
+    masked_rel = np.where(keep, rel_index, -1).astype(np.int32)
+    for b in range(B):
+        for s in range(Ts):
+            dsts = np.nonzero(blocks_t[b, s])[0]
+            tile_dst[b, s, : len(dsts)] = dsts
+            for i, d in enumerate(dsts):
+                tile_rel_src[b, s, i] = masked_rel[
+                    b, d * tile:(d + 1) * tile, s * tile:(s + 1) * tile].T
+    return tile_dst, tile_rel_src
+
+
 def keep_from_edge_cells(edge_src, edge_dst, edge_mask, num_nodes: int,
                          edge_rel=None):
     """Rebuild the [B, N, N] kept-pair mask (and optionally a rel matrix)

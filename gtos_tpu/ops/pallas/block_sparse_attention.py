@@ -113,12 +113,34 @@ def _kernel(tile_src_ref, q_ref, k_ref, v_ref, ab_ref, bb_ref, rel_ref,
         ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "scale"))
+def _kernel_stats(tile_src_ref, q_ref, k_ref, v_ref, ab_ref, bb_ref,
+                  rel_ref, out_ref, m_out, l_out, m_sc, l_sc, acc_sc, *,
+                  scale, smax):
+    """Forward that also persists the softmax stats (running max m and
+    denominator l per dst node) for the Pallas backward's exact recompute."""
+    _kernel(tile_src_ref, q_ref, k_ref, v_ref, ab_ref, bb_ref, rel_ref,
+            out_ref, m_sc, l_sc, acc_sc, scale=scale, smax=smax)
+    s = pl.program_id(2)
+
+    @pl.when(s == smax - 1)
+    def _():
+        H, Tn, _ = m_sc.shape
+        m_out[0] = jnp.broadcast_to(m_sc[...], (H, Tn, 128))
+        l_out[0] = jnp.broadcast_to(l_sc[...], (H, Tn, 128))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "scale", "with_stats"))
 def block_sparse_relation_attention(q, k, v, a_bank, b_bank, tile_src,
                                     tile_rel, interpret: bool = False,
-                                    scale: float = None):
+                                    scale: float = None,
+                                    with_stats: bool = False):
     """Block-sparse relation attention. Returns out [B,H,N,Dh] f32-accurate
-    in v.dtype; rows with no kept incoming pair are 0."""
+    in v.dtype; rows with no kept incoming pair are 0.
+
+    with_stats=True additionally returns the streamed-softmax stats
+    (m, l) [B, H, N_pad, 128] f32 (lane-broadcast), consumed by the Pallas
+    backward (block_sparse_attention_bwd)."""
     B, H, N, Dh = q.shape
     P = a_bank.shape[0]
     Bt, Td, Smax = tile_src.shape
@@ -155,32 +177,53 @@ def block_sparse_relation_attention(q, k, v, a_bank, b_bank, tile_src,
     def kv_index(b, td, s, src_ref):
         return (b, 0, src_ref[b, td, s], 0)
 
+    in_specs = [
+        pl.BlockSpec((1, H, T, Dh_pad), lambda b, td, s, sr: (b, 0, td, 0),
+                     memory_space=pltpu.VMEM),                    # q
+        pl.BlockSpec((1, H, T, Dh_pad), kv_index,
+                     memory_space=pltpu.VMEM),                    # k
+        pl.BlockSpec((1, H, T, Dh_pad), kv_index,
+                     memory_space=pltpu.VMEM),                    # v
+        pl.BlockSpec((H, P_pad, Dh_pad), lambda b, td, s, sr: (0, 0, 0),
+                     memory_space=pltpu.VMEM),                    # a_bank
+        pl.BlockSpec((H, P_pad, Dh_pad), lambda b, td, s, sr: (0, 0, 0),
+                     memory_space=pltpu.VMEM),                    # b_bank
+        pl.BlockSpec((1, 1, 1, T, T), lambda b, td, s, sr: (b, td, s, 0, 0),
+                     memory_space=pltpu.VMEM),                    # rel
+    ]
+    out_spec = pl.BlockSpec((1, H, T, Dh_pad),
+                            lambda b, td, s, sr: (b, 0, td, 0),
+                            memory_space=pltpu.VMEM)
+    scratch_shapes = [
+        pltpu.VMEM((H, T, 1), f32),        # running max
+        pltpu.VMEM((H, T, 1), f32),        # running denominator
+        pltpu.VMEM((H, T, Dh_pad), f32),   # running numerator
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, H, T, Dh_pad), lambda b, td, s, sr: (b, 0, td, 0),
-                         memory_space=pltpu.VMEM),                    # q
-            pl.BlockSpec((1, H, T, Dh_pad), kv_index,
-                         memory_space=pltpu.VMEM),                    # k
-            pl.BlockSpec((1, H, T, Dh_pad), kv_index,
-                         memory_space=pltpu.VMEM),                    # v
-            pl.BlockSpec((H, P_pad, Dh_pad), lambda b, td, s, sr: (0, 0, 0),
-                         memory_space=pltpu.VMEM),                    # a_bank
-            pl.BlockSpec((H, P_pad, Dh_pad), lambda b, td, s, sr: (0, 0, 0),
-                         memory_space=pltpu.VMEM),                    # b_bank
-            pl.BlockSpec((1, 1, 1, T, T), lambda b, td, s, sr: (b, td, s, 0, 0),
-                         memory_space=pltpu.VMEM),                    # rel
-        ],
-        out_specs=pl.BlockSpec((1, H, T, Dh_pad),
-                               lambda b, td, s, sr: (b, 0, td, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((H, T, 1), f32),        # running max
-            pltpu.VMEM((H, T, 1), f32),        # running denominator
-            pltpu.VMEM((H, T, Dh_pad), f32),   # running numerator
-        ],
+        num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+        out_specs=out_spec, scratch_shapes=scratch_shapes,
     )
+
+    if with_stats:
+        stat_spec = pl.BlockSpec((1, H, T, 128),
+                                 lambda b, td, s, sr: (b, 0, td, 0),
+                                 memory_space=pltpu.VMEM)
+        stats_grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=(out_spec, stat_spec, stat_spec),
+            scratch_shapes=scratch_shapes,
+        )
+        out, m, l = pl.pallas_call(
+            functools.partial(_kernel_stats, scale=scale, smax=Smax),
+            grid_spec=stats_grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((B, H, N_pad, Dh_pad), v.dtype),
+                jax.ShapeDtypeStruct((B, H, N_pad, 128), f32),
+                jax.ShapeDtypeStruct((B, H, N_pad, 128), f32),
+            ),
+            interpret=interpret,
+        )(src_clamped, qp, kp, vp, abT, bbT, tile_rel)
+        return out[:, :, :N, :Dh], m, l
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, smax=Smax),
@@ -192,14 +235,53 @@ def block_sparse_relation_attention(q, k, v, a_bank, b_bank, tile_src,
 
 
 # ---------------------------------------------------------------------------
-# Trainable wrapper: Pallas block-sparse forward, XLA sparse backward.
+# Trainable wrappers.
 #
-# The forward kernel streams the softmax, so the cheapest exact backward is
-# to recompute through the O(E) XLA segment pipeline (whose VJP XLA already
-# knows) on the SAME kept-pair set — the caller passes the flat [B, E] COO
-# form alongside the tile form (batchify emits both; they are two layouts
-# of one edge set, asserted equal in tests).
+# Preferred: Pallas forward AND Pallas backward (block_sparse_attention_bwd,
+# the flash-style two-pass kernel over the same nonempty block set) — used
+# when the src-major tile layout (tile_dst / tile_rel_src from
+# pack_block_sparse_src) is available.
+#
+# Fallback: Pallas forward, XLA segment-pipeline backward on the flat
+# [B, E] COO form of the SAME kept-pair set (batchify emits both layouts;
+# asserted equal in tests).
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _blk_vjp_pallas(interpret, q, k, v, a_bank, b_bank, tile_src, tile_rel,
+                    tile_dst, tile_rel_src):
+    out = block_sparse_relation_attention(
+        q, k, v, a_bank, b_bank, tile_src, tile_rel, interpret=interpret)
+    return out.astype(jnp.float32)
+
+
+def _blk_pallas_fwd(interpret, q, k, v, a_bank, b_bank, tile_src, tile_rel,
+                    tile_dst, tile_rel_src):
+    out, m, l = block_sparse_relation_attention(
+        q, k, v, a_bank, b_bank, tile_src, tile_rel, interpret=interpret,
+        with_stats=True)
+    return out.astype(jnp.float32), (
+        q, k, v, a_bank, b_bank, tile_src, tile_rel, tile_dst, tile_rel_src,
+        out, m, l)
+
+
+def _blk_pallas_bwd(interpret, res, g):
+    import numpy as _np
+    (q, k, v, a_bank, b_bank, tile_src, tile_rel, tile_dst, tile_rel_src,
+     out, m, l) = res
+    from gtos_tpu.ops.pallas.block_sparse_attention_bwd import (
+        block_sparse_attention_bwd,
+    )
+    dq, dk, dv, gab, gbb = block_sparse_attention_bwd(
+        q, k, v, a_bank, b_bank, tile_src, tile_rel, tile_dst, tile_rel_src,
+        out, m, l, g, interpret=interpret)
+    zi = lambda x: _np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
+    return (dq, dk, dv, gab, gbb, zi(tile_src), zi(tile_rel), zi(tile_dst),
+            zi(tile_rel_src))
+
+
+_blk_vjp_pallas.defvjp(_blk_pallas_fwd, _blk_pallas_bwd)
 
 
 def _xla_sparse(q, k, v, a_bank, b_bank, src, dst, rel, mask):
@@ -240,10 +322,20 @@ _blk_vjp.defvjp(_blk_fwd, _blk_bwd)
 
 
 def block_sparse_relation_attention_trainable(
-        q, k, v, a_bank, b_bank, tile_src, tile_rel, src, dst, rel, mask,
+        q, k, v, a_bank, b_bank, tile_src, tile_rel, src=None, dst=None,
+        rel=None, mask=None, tile_dst=None, tile_rel_src=None,
         *, interpret: bool = False):
-    """Differentiable block-sparse relation attention: Pallas tile kernel
-    forward, XLA segment-pipeline backward over the identical edge set
-    (src/dst/rel/mask are the flat [B, E] COO form)."""
+    """Differentiable block-sparse relation attention.
+
+    With the src-major tile layout (tile_dst/tile_rel_src): Pallas forward
+    + Pallas two-pass backward over the same nonempty block set. Otherwise:
+    Pallas forward, XLA segment-pipeline backward over the identical edge
+    set (src/dst/rel/mask = the flat [B, E] COO form)."""
+    if tile_dst is not None:
+        return _blk_vjp_pallas(interpret, q, k, v, a_bank, b_bank, tile_src,
+                               tile_rel, tile_dst, tile_rel_src)
+    assert src is not None, (
+        "need either (tile_dst, tile_rel_src) for the Pallas backward or "
+        "the flat COO (src, dst, rel, mask) for the XLA backward")
     return _blk_vjp(interpret, q, k, v, a_bank, b_bank, tile_src, tile_rel,
                     src, dst, rel, mask)

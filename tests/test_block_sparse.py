@@ -7,9 +7,11 @@ import numpy as np
 import pytest
 
 from gtos_tpu.ops.attention import bank_relation_scores
-from gtos_tpu.ops.block_sparse import TILE, pack_block_sparse
+from gtos_tpu.ops.block_sparse import (
+    TILE, pack_block_sparse, pack_block_sparse_src,
+)
 from gtos_tpu.ops.pallas.block_sparse_attention import (
-    block_sparse_relation_attention,
+    _blk_vjp_pallas, block_sparse_relation_attention,
 )
 
 
@@ -69,6 +71,64 @@ def test_pack_block_sparse_layout():
                 np.testing.assert_array_equal(blk[kb], rb[kb])
                 total += int(kb.sum())
     assert total == int(keep.sum())
+
+
+def test_pack_block_sparse_src_is_transpose():
+    """The src-major layout covers the same nonempty blocks, with each
+    relation block transposed to [src-local, dst-local] orientation."""
+    rng = np.random.default_rng(3)
+    B, N, P = 2, 256, 37
+    keep = rng.random((B, N, N)) < 0.02
+    rel = rng.integers(0, P, (B, N, N)).astype(np.int32)
+    tile_dst, tile_rel_src = pack_block_sparse_src(keep, rel)
+    Ts = N // TILE
+    assert tile_dst.shape[:2] == (B, Ts)
+    masked = np.where(keep, rel, -1)
+    total = 0
+    for b in range(B):
+        for s in range(Ts):
+            for i, d in enumerate(tile_dst[b, s]):
+                if d < 0:
+                    assert (tile_rel_src[b, s, i] == -1).all()
+                    continue
+                expect = masked[b, d * TILE:(d + 1) * TILE,
+                                s * TILE:(s + 1) * TILE].T
+                np.testing.assert_array_equal(tile_rel_src[b, s, i], expect)
+                total += int((expect >= 0).sum())
+    assert total == int(keep.sum())
+
+
+@pytest.mark.parametrize("N,p_pair", [(128, 0.4), (256, 0.05)])
+def test_pallas_backward_matches_dense_vjp(N, p_pair):
+    """The two-pass Pallas backward (interpret mode): grads wrt
+    q/k/v/a_bank/b_bank match autodiff through the dense masked reference
+    on the same kept-pair set."""
+    B, H, Dh, P = 2, 2, 32, 200
+    q, k, v, a_bank, b_bank, rel_index, keep = _case(
+        jax.random.PRNGKey(4), B, H, N, Dh, P, p_pair, seed=4)
+    tile_src, tile_rel = pack_block_sparse(keep, rel_index)
+    tile_dst, tile_rel_src = pack_block_sparse_src(keep, rel_index)
+    w = jax.random.normal(jax.random.PRNGKey(5), (B, H, N, Dh))
+
+    def loss_kernel(q, k, v, ab, bb):
+        out = _blk_vjp_pallas(True, q, k, v, ab, bb,
+                              jnp.asarray(tile_src), jnp.asarray(tile_rel),
+                              jnp.asarray(tile_dst),
+                              jnp.asarray(tile_rel_src))
+        return jnp.sum(out * w)
+
+    def loss_ref(q, k, v, ab, bb):
+        out = _dense_masked(q, k, v, ab, bb, rel_index, keep)
+        return jnp.sum(out * w)
+
+    g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(
+        q, k, v, a_bank, b_bank)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        q, k, v, a_bank, b_bank)
+    for name, gk, gr in zip("q k v a_bank b_bank".split(), g_kernel, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=2e-3, atol=2e-4,
+            err_msg=f"grad mismatch wrt {name}")
 
 
 @pytest.mark.parametrize("N,p_pair", [(128, 1.0), (128, 0.3), (256, 0.05)])
