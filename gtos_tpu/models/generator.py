@@ -56,7 +56,7 @@ class Generator(nn.Module):
         self.graph_transformer = GraphTransformer(
             cfg.enc_layers, cfg.d_model, cfg.d_ff, cfg.heads, cfg.dropout,
             dtype=dt, impl=cfg.attention_impl, cp_mesh=self.cp_mesh,
-            cp_axis=self.cp_axis)
+            cp_axis=self.cp_axis, cp_schedule=cfg.cp_schedule)
         self.decoder = Decoder(
             cfg.token_vocab, cfg.dec_layers, cfg.d_model, cfg.d_ff,
             cfg.heads, cfg.dropout, cfg.max_target_len, dtype=dt)

@@ -48,6 +48,7 @@ class RelationMultiheadAttention(nn.Module):
     impl: str = "xla"
     cp_mesh: Optional[Any] = None
     cp_axis: str = "graph"
+    cp_schedule: str = "ring"
 
     @nn.compact
     def __call__(self, x, rel_vecs, rel_index, node_mask,
@@ -83,6 +84,13 @@ class RelationMultiheadAttention(nn.Module):
                                edges["edge_rel"], edges["edge_mask"])
         if self.cp_mesh is not None and \
                 self.cp_mesh.shape.get(self.cp_axis, 1) > 1:
+            if self.cp_schedule == "a2a":
+                from gtos_tpu.parallel.a2a_attention import (
+                    a2a_sparse_relation_attention,
+                )
+                return a2a_sparse_relation_attention(
+                    self.cp_mesh, q, k, v, a_bank, b_bank,
+                    src, dst, rel, mask, axis_name=self.cp_axis)
             from gtos_tpu.parallel.ring_attention import (
                 ring_sparse_relation_attention,
             )
@@ -119,6 +127,7 @@ class GraphTransformerLayer(nn.Module):
     impl: str = "xla"
     cp_mesh: Optional[Any] = None
     cp_axis: str = "graph"
+    cp_schedule: str = "ring"
 
     @nn.compact
     def __call__(self, x, rel_vecs, rel_index, node_mask, deterministic=True,
@@ -126,7 +135,7 @@ class GraphTransformerLayer(nn.Module):
         attn = RelationMultiheadAttention(
             self.d_model, self.heads, dtype=self.dtype,
             impl=self.impl, cp_mesh=self.cp_mesh, cp_axis=self.cp_axis,
-            name="self_attn",
+            cp_schedule=self.cp_schedule, name="self_attn",
         )(x, rel_vecs, rel_index, node_mask, edges)
         x = PostLNResidual(self.dropout, dtype=self.dtype, name="attn_res")(
             x, attn, deterministic)
@@ -147,6 +156,7 @@ class GraphTransformer(nn.Module):
     impl: str = "xla"
     cp_mesh: Optional[Any] = None
     cp_axis: str = "graph"
+    cp_schedule: str = "ring"
 
     @nn.compact
     def __call__(self, x, rel_vecs, rel_index, node_mask, deterministic=True,
@@ -155,7 +165,8 @@ class GraphTransformer(nn.Module):
             x = GraphTransformerLayer(
                 self.d_model, self.d_ff, self.heads, self.dropout,
                 dtype=self.dtype, impl=self.impl, cp_mesh=self.cp_mesh,
-                cp_axis=self.cp_axis, name=f"layer{i}",
+                cp_axis=self.cp_axis, cp_schedule=self.cp_schedule,
+                name=f"layer{i}",
             )(x, rel_vecs, rel_index, node_mask, deterministic, edges)
         # zero padded nodes so downstream cross-attention sees clean memory
         return jnp.where(node_mask[:, :, None], x, 0.0)

@@ -1,0 +1,132 @@
+"""All-to-all scatter-combine context-parallel sparse relation attention.
+
+The alternative boundary-exchange schedule to the ppermute ring
+(gtos_tpu.parallel.ring_attention) — BASELINE.json's north_star names
+all-to-all explicitly ("exchanging boundary node features via all-to-all
+overlapped with local aggregation"). The two schedules trade differently:
+
+  ring  — edges sharded by DST block, k/v blocks rotate S-1 times via
+          ppermute; 2(S-1) collectives, each overlapped with one step's
+          local aggregation; per-step traffic is small and rides
+          neighbour ICI links only. Best when S is large and per-step
+          compute hides each hop.
+  a2a   — edges sharded by SRC block (each device owns the outgoing edges
+          of its node block): q blocks travel once via all_gather, each
+          device computes PARTIAL (max, denom, numerator) softmax stats
+          for every destination block from its local k/v, and ONE
+          all_to_all returns each destination block's partials to its
+          owner, which merges them flash-attention-style. 2 collectives
+          total regardless of S — latency-lean for small meshes; the
+          partial computation for remote blocks overlaps the all_gather
+          that XLA schedules asynchronously.
+
+Exact math (no approximation); parity with the single-device sparse path
+and with the ring schedule is tested in tests/test_sparse.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gtos_tpu.ops.sparse_relation import NEG_INF, _gather_nodes, _segment_op
+
+
+def _a2a_body(q, k, v, a_bank, b_bank, esrc, edst, erel, emask, *,
+              axis_name: str, n_shards: int, scale):
+    """Per-device body under shard_map.
+
+    q, k, v: [B, H, Nl, D] (this device's node block); edge cells
+    [B, S, 1, Ec] — this device's SRC-block column: cell d holds the edges
+    with src in the local block and dst in block d, ids block-LOCAL.
+    Returns out [B, H, Nl, D] f32 for the local destination block.
+    """
+    B, H, Nl, D = q.shape
+    S = n_shards
+    f32 = jnp.float32
+    esrc, edst, erel, emask = (x[:, :, 0] for x in
+                               (esrc, edst, erel, emask))  # [B, S, Ec]
+
+    # Boundary node features (queries) travel ONCE; XLA issues the gather
+    # asynchronously, so the d != self partial computations below overlap it.
+    q_all = jax.lax.all_gather(q, axis_name)  # [S, B, H, Nl, D]
+
+    m_p, l_p, o_p = [], [], []
+    for d in range(S):
+        c_src, c_dst, c_rel, c_mask = (x[:, d] for x in
+                                       (esrc, edst, erel, emask))
+        qd = _gather_nodes(q_all[d], c_dst).astype(f32)     # [B,H,Ec,D]
+        ks = _gather_nodes(k, c_src).astype(f32)
+        vs = _gather_nodes(v, c_src).astype(f32)
+        ar = jnp.transpose(a_bank[c_rel], (0, 2, 1, 3)).astype(f32)
+        br = jnp.transpose(b_bank[c_rel], (0, 2, 1, 3)).astype(f32)
+        e = jnp.sum((qd + ar) * (ks + br), axis=-1) * scale  # [B,H,Ec]
+        e = jnp.where(c_mask[:, None, :], e, NEG_INF)
+
+        # partial softmax stats for dst block d over LOCAL sources only
+        m_d = jnp.maximum(
+            _segment_op(jax.ops.segment_max, e, c_dst, Nl), NEG_INF)
+        e_sh = e - jnp.take_along_axis(
+            m_d, jnp.broadcast_to(c_dst[:, None, :], e.shape), axis=2)
+        p = jnp.where(c_mask[:, None, :], jnp.exp(e_sh), 0.0)
+        m_p.append(m_d)
+        l_p.append(_segment_op(jax.ops.segment_sum, p, c_dst, Nl))
+        o_p.append(_segment_op(jax.ops.segment_sum,
+                               p[..., None] * vs, c_dst, Nl))
+
+    m_s = jnp.stack(m_p)            # [S, B, H, Nl]
+    l_s = jnp.stack(l_p)            # [S, B, H, Nl]
+    o_s = jnp.stack(o_p)            # [S, B, H, Nl, D]
+
+    # ONE all_to_all: slice d of each device's stack is the partial for
+    # dst block d -> deliver it to device d; received slice j is device
+    # j's partial for OUR block.
+    a2a = functools.partial(jax.lax.all_to_all, axis_name=axis_name,
+                            split_axis=0, concat_axis=0)
+    m_r, l_r, o_r = a2a(m_s), a2a(l_s), a2a(o_s)
+
+    # flash-style merge of the S partials
+    M = jnp.max(m_r, axis=0)                        # [B, H, Nl]
+    w = jnp.exp(m_r - M[None])                      # empty partials: l_r=0
+    l = jnp.sum(l_r * w, axis=0)
+    o = jnp.sum(o_r * w[..., None], axis=0)
+    has_in = l > 0
+    safe = jnp.where(has_in, l, 1.0)[..., None]
+    return jnp.where(has_in[..., None], o / safe, 0.0)
+
+
+def a2a_sparse_relation_attention(
+    mesh: Mesh, q, k, v, a_bank, b_bank,
+    edge_src, edge_dst, edge_rel, edge_mask,
+    axis_name: str = "graph", scale=None,
+):
+    """Context-parallel sparse relation attention, all-to-all schedule.
+
+    Same contract as ring_sparse_relation_attention: q, k, v [B, H, N, D]
+    node-sharded over `axis_name`; banks replicated; edge tensors
+    [B, S, S, Ec] cell layout — here sharded on the SRC-block dim (axis 2).
+    Returns out [B, H, N, D] f32, node-sharded over `axis_name`.
+    """
+    S = mesh.shape[axis_name]
+    N = q.shape[2]
+    assert N % S == 0, f"node dim {N} not divisible by '{axis_name}'={S}"
+    assert edge_src.shape[2] == S, (
+        f"edge cell layout {edge_src.shape} was built for "
+        f"cp_shards={edge_src.shape[2]}, mesh has {S}")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    body = functools.partial(_a2a_body, axis_name=axis_name, n_shards=S,
+                             scale=scale)
+    node_sp = P(None, None, axis_name, None)
+    cell_sp = P(None, None, axis_name, None)   # shard the SRC-block dim
+    rep = P()
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(node_sp, node_sp, node_sp, rep, rep,
+                  cell_sp, cell_sp, cell_sp, cell_sp),
+        out_specs=node_sp,
+        axis_names={axis_name},
+    )(q, k, v, a_bank, b_bank, edge_src, edge_dst, edge_rel, edge_mask)

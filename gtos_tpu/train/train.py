@@ -73,6 +73,10 @@ def parse_args(argv=None):
     p.add_argument("--sparse_khop", type=int, default=0,
                    help="sparse encoder: keep pairs within k path labels "
                         "(0 = all pairs); only with --attention_impl sparse")
+    p.add_argument("--cp_schedule", default="ring", choices=["ring", "a2a"],
+                   help="context-parallel boundary exchange: ppermute ring "
+                        "(overlap per step) or one all_gather + all_to_all "
+                        "of partial softmax stats (latency-lean)")
     # optimization
     p.add_argument("--total_steps", type=int, default=100000)
     p.add_argument("--warmup_steps", type=int, default=4000)
@@ -108,6 +112,13 @@ def parse_args(argv=None):
                         "and log dev BLEU (sacrebleu)")
     p.add_argument("--eval_bleu_max", type=int, default=200,
                    help="cap on dev instances decoded for dev BLEU")
+    # input pipeline / dispatch overlap
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches prepared + device_put ahead in a "
+                        "background thread (0 = synchronous)")
+    p.add_argument("--max_inflight", type=int, default=2,
+                   help="dispatched steps outstanding before the host "
+                        "reads a loss back (0 = sync every step)")
 
     if pre_args.config:
         import json
@@ -229,6 +240,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         attention_impl=args.attention_impl,
         sparse_khop=args.sparse_khop,
+        cp_schedule=args.cp_schedule,
         use_copy=(args.task == "amr"),
         use_node_positions=(args.task == "nmt"),
     )
@@ -286,7 +298,8 @@ def main(argv=None):
 
     trainer = Trainer(model, model_cfg, train_cfg, first.arrays(),
                       metrics_writer=metrics, checkpoint_manager=ckpt,
-                      mesh=mesh, dev_bleu_fn=dev_bleu_fn)
+                      mesh=mesh, dev_bleu_fn=dev_bleu_fn,
+                      prefetch=args.prefetch, max_inflight=args.max_inflight)
     if args.resume:
         step = trainer.restore_if_available()
         print(f"resumed at step {step}", file=sys.stderr)

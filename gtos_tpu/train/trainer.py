@@ -109,6 +109,8 @@ class Trainer:
         checkpoint_manager=None,
         mesh=None,
         dev_bleu_fn: Optional[Callable] = None,
+        prefetch: int = 2,
+        max_inflight: int = 2,
     ):
         self.model = model
         self.model_cfg = model_cfg
@@ -142,12 +144,25 @@ class Trainer:
         # optional params -> dev BLEU hook (decode + sacrebleu), so config-2
         # parity is measurable during training (VERDICT r1 missing #5)
         self.dev_bleu_fn = dev_bleu_fn
+        # input-pipeline overlap: batches are batchified + device_put
+        # `prefetch` ahead in a background thread, and up to `max_inflight`
+        # dispatched steps may be outstanding before the host reads a loss
+        # back — the device queue never drains on host work (the reference
+        # alternates host batchify and device step, SURVEY.md §3.2)
+        self.prefetch = prefetch
+        self.max_inflight = max_inflight
 
     def _put(self, arrays):
         if self.mesh is None:
-            return arrays
+            return jax.device_put(arrays)
         from gtos_tpu.parallel.mesh import shard_arrays
         return shard_arrays(self.mesh, arrays)
+
+    def _prep(self, batch):
+        """Host-side work per batch (runs in the prefetch thread): pack to
+        numpy, then start the H2D transfer."""
+        raw = batch.arrays()
+        return raw, self._put(raw)
 
     def restore_if_available(self):
         if self.ckpt is not None:
@@ -161,6 +176,10 @@ class Trainer:
 
     def fit(self, train_loader: Iterable, dev_loader=None,
             log_every: int = 50) -> Dict[str, float]:
+        from collections import deque
+
+        from gtos_tpu.data.prefetch import prefetch_iter
+
         cfg = self.train_cfg
         step = int(self.state.step)  # resume via restore_if_available()
         timer = StepTimer()
@@ -168,6 +187,26 @@ class Trainer:
         last: Dict[str, float] = {}
         batch_idx = 0
         skip = 0
+        # (step, device metrics) of dispatched-but-unread steps; reading a
+        # loss blocks until that step completes, so the deque keeps the host
+        # `max_inflight` steps ahead of the device
+        pending: deque = deque()
+        drained = [None]  # (step, metrics, loss) of the newest read step
+
+        def drain(to_len: int = 0):
+            while len(pending) > to_len:
+                s, m = pending.popleft()
+                loss_val = float(m["loss"])
+                if not np.isfinite(loss_val):
+                    # fail fast with a resumable state on disk (SURVEY.md §5
+                    # failure detection: restart from the last checkpoint)
+                    if self.ckpt is not None:
+                        self.ckpt.wait()
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_val} at step {s}; "
+                        "restart with --resume from the last checkpoint")
+                drained[0] = (s, m, loss_val)
+
         if self._resume_cursor is not None and hasattr(train_loader, "epoch"):
             # replay the interrupted epoch's deterministic plan and skip
             # the batches already consumed before the checkpoint
@@ -176,39 +215,34 @@ class Trainer:
             self._resume_cursor = None
         while step < cfg.total_steps:
             batch_idx = 0
-            for batch in train_loader:
+            for raw, arrays in prefetch_iter(train_loader, self._prep,
+                                             depth=self.prefetch):
                 batch_idx += 1
                 if skip > 0:
                     skip -= 1
                     continue
-                raw = batch.arrays()
-                arrays = self._put(raw)
                 self.state, metrics = self.train_step(self.state, arrays)
-                step = int(self.state.step)
-                loss_val = float(metrics["loss"])
-                if not np.isfinite(loss_val):
-                    # fail fast with a resumable state on disk (SURVEY.md §5
-                    # failure detection: restart from the last checkpoint)
-                    if self.ckpt is not None:
-                        self.ckpt.wait()
-                    raise FloatingPointError(
-                        f"non-finite loss {loss_val} at step {step}; "
-                        "restart with --resume from the last checkpoint")
-                timer.step(n_tokens=int(metrics["n_tok"]),
+                step += 1
+                pending.append((step, metrics))
+                timer.step(n_tokens=int(raw["token_mask"].sum()),
                            n_edges=_batch_edges_count(raw))
+                drain(self.max_inflight)
                 if step % log_every == 0 or step == cfg.total_steps:
+                    drain(0)
+                    _, m, loss_val = drained[0]
                     rates = timer.rates()
                     last = {
                         "step": step,
-                        "loss": float(metrics["loss"]),
-                        "acc": float(metrics["acc"]),
-                        "grad_norm": float(metrics["grad_norm"]),
+                        "loss": loss_val,
+                        "acc": float(m["acc"]),
+                        "grad_norm": float(m["grad_norm"]),
                         "tokens_per_s": rates["tokens_per_s"],
                         "edges_per_s": rates["edges_per_s"],
                     }
                     if self.metrics is not None:
                         self.metrics.write(dict(last, kind="train"))
                 if dev_loader is not None and step % cfg.eval_every == 0:
+                    drain(0)
                     ev = self.evaluate(dev_loader)
                     if self.dev_bleu_fn is not None:
                         ev["dev_bleu"] = float(
@@ -216,11 +250,13 @@ class Trainer:
                     if self.metrics is not None:
                         self.metrics.write(dict(ev, step=step, kind="eval"))
                 if self.ckpt is not None and step % cfg.checkpoint_every == 0:
+                    drain(0)
                     self.ckpt.save(step, self.state, cursor={
                         "epoch": getattr(train_loader, "epoch", 0),
                         "batch": batch_idx})
                 if step >= cfg.total_steps:
                     break
+        drain(0)
         if self.ckpt is not None:
             self.ckpt.save(step, self.state, cursor={
                 "epoch": getattr(train_loader, "epoch", 0),

@@ -55,6 +55,11 @@ class ModelConfig:
     # (0 = all pairs, exact dense parity). Stored in the model config so
     # inference rebuilds the identical edge pipeline from the checkpoint.
     sparse_khop: int = 0
+    # context-parallel boundary-exchange schedule for the sparse encoder:
+    # "ring" (ppermute k/v rotation, overlap per step — best at large S) or
+    # "a2a" (one all_gather + one all_to_all of partial softmax stats —
+    # latency-lean at small S). See gtos_tpu/parallel/a2a_attention.py.
+    cp_schedule: str = "ring"
 
     @property
     def ext_vocab(self) -> int:

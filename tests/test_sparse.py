@@ -278,3 +278,53 @@ def test_model_sparse_cp_matches_single(model_pair):
                     jax.tree_util.tree_leaves(g_cp)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.parametrize("graph_axis", [2, 4])
+def test_a2a_matches_single_device(graph_axis):
+    """The all-to-all scatter-combine CP schedule (partial softmax stats
+    returned to the dst owner in one collective) must match the
+    single-device sparse op."""
+    from gtos_tpu.parallel.a2a_attention import a2a_sparse_relation_attention
+
+    S = graph_axis
+    q, k, v, a_bank, b_bank, rel_index, keep, edges = _random_attention_case(
+        jax.random.PRNGKey(6), N=16, S=S, p_edge=0.5)
+    src, dst, rel, emask = flatten_edge_cells(*edges, num_nodes=q.shape[2])
+    single = sparse_relation_attention(
+        q, k, v, a_bank, b_bank, src, dst, rel, emask)
+    mesh = make_mesh(dp=8 // S, mp=1, graph=S)
+    out = a2a_sparse_relation_attention(
+        mesh, q, k, v, a_bank, b_bank, *edges)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_model_sparse_cp_a2a_matches_single(model_pair):
+    """Generator with cp_schedule='a2a' over a real 'graph' axis == the
+    single-device sparse model, through the full loss and grads."""
+    import dataclasses
+
+    dense, sparse, params, batch, instances, vocabs = model_pair
+    tv, cv, rv, chv, lm = vocabs
+    S = 2
+    cp_batch = batchify(instances[:4], tv, cv, rv, chv, lm,
+                        batch_size_bucket=4, build_edges=True, cp_shards=S)
+    mesh = make_mesh(dp=2, mp=2, graph=S)
+    a2a_cfg = dataclasses.replace(sparse.cfg, cp_schedule="a2a")
+    cp_model = Generator(a2a_cfg, cp_mesh=mesh)
+
+    l_single, _ = sparse.apply(params, batch.arrays(), deterministic=True)
+    l_cp, _ = cp_model.apply(params, cp_batch.arrays(), deterministic=True)
+    np.testing.assert_allclose(float(l_cp), float(l_single), rtol=1e-4)
+
+    g_single = jax.grad(
+        lambda p: sparse.apply(p, batch.arrays(), deterministic=True)[0]
+    )(params)
+    g_cp = jax.grad(
+        lambda p: cp_model.apply(p, cp_batch.arrays(), deterministic=True)[0]
+    )(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_single),
+                    jax.tree_util.tree_leaves(g_cp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5)

@@ -178,3 +178,62 @@ def test_restore_after_accum_training(tmp_path_factory):
     bad_leaves = jax.tree_util.tree_structure(bad_template.opt_state)
     good_leaves = jax.tree_util.tree_structure(template.opt_state)
     assert bad_leaves != good_leaves
+
+
+def test_prefetch_iter_matches_plain_map():
+    from gtos_tpu.data.prefetch import prefetch_iter
+
+    items = list(range(20))
+    fn = lambda x: x * x  # noqa: E731
+    assert list(prefetch_iter(items, fn, depth=3)) == [fn(x) for x in items]
+    assert list(prefetch_iter(items, fn, depth=0)) == [fn(x) for x in items]
+
+    # exceptions in the transform propagate to the consumer
+    def boom(x):
+        if x == 5:
+            raise ValueError("boom")
+        return x
+
+    with pytest.raises(ValueError, match="boom"):
+        list(prefetch_iter(items, boom, depth=2))
+
+    # early abandonment doesn't hang (worker is signalled to stop)
+    it = prefetch_iter(items, fn, depth=2)
+    assert next(it) == 0
+    it.close()
+
+
+def test_async_dispatch_equals_sync_training():
+    """The prefetch + bounded-inflight pipeline (trainer.py) is a pure
+    scheduling change: final params must be bit-identical to the
+    synchronous loop."""
+    graphs, targets = synthetic_amr_corpus(8, seed=9, min_nodes=3,
+                                           max_nodes=5)
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    cfg = ModelConfig(
+        token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
+        char_vocab=len(chv), d_model=32, d_ff=64, heads=2, enc_layers=1,
+        dec_layers=1, char_dim=4, char_filters=8, rel_emb_dim=8,
+        rel_hidden=16, max_oov=16, max_target_len=32, dropout=0.0)
+    tcfg = TrainConfig(total_steps=12, warmup_steps=4, eval_every=1000,
+                       checkpoint_every=1000)
+
+    def run(prefetch, inflight):
+        model = Generator(cfg)
+        dl = DataLoader(instances, tv, cv, rv, chv, lm,
+                        batch_size_tokens=256, for_train=True, seed=3)
+        first = next(iter(dl))
+        tr = Trainer(model, cfg, tcfg, first.arrays(),
+                     prefetch=prefetch, max_inflight=inflight)
+        last = tr.fit(dl, log_every=6)
+        return tr.state.params, last
+
+    p_sync, last_sync = run(prefetch=0, inflight=0)
+    p_async, last_async = run(prefetch=2, inflight=2)
+    assert last_sync["step"] == last_async["step"] == 12
+    assert abs(last_sync["loss"] - last_async["loss"]) < 1e-6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        p_sync, p_async)
