@@ -59,16 +59,25 @@ def run_loop(cfg, mk_dl, prefetch: int, inflight: int, steps: int):
                        eval_every=10 ** 9, checkpoint_every=10 ** 9)
     trainer = Trainer(Generator(cfg), cfg, tcfg, first.arrays(),
                       prefetch=prefetch, max_inflight=inflight)
-    # warm the compile caches for every bucket signature outside the timer
+    # warm the compile caches over the EXACT batch sequence the timer will
+    # see: fit() consumes epochs epoch0+1.. whose reshuffles can produce
+    # bucket signatures epoch 1 never emitted (ADVICE r2) — so replay those
+    # epochs here, compile any new signature, then rewind the epoch counter
+    epoch0 = dl.epoch
     seen = set()
-    for batch in dl:
-        arrays = trainer._put(batch.arrays())
-        sig = tuple(sorted((k, v.shape) for k, v in arrays.items()))
-        if sig in seen:
-            continue
-        seen.add(sig)
-        trainer.state, m = trainer.train_step(trainer.state, arrays)
+    count = 0
+    while count < steps:
+        for batch in dl:
+            count += 1
+            arrays = trainer._put(batch.arrays())
+            sig = tuple(sorted((k, v.shape) for k, v in arrays.items()))
+            if sig not in seen:
+                seen.add(sig)
+                trainer.state, m = trainer.train_step(trainer.state, arrays)
+            if count >= steps:
+                break
     jax.block_until_ready(trainer.state.params)
+    dl.epoch = epoch0
     trainer.state = dataclasses_replace_step(trainer.state, 0)
 
     t0 = time.perf_counter()

@@ -48,17 +48,29 @@ def replicate(mesh: Mesh) -> NamedSharding:
 _BATCH_LEADING = (
     "concept", "concept_char", "concept_mask", "rel_index", "token_in",
     "token_out", "token_mask", "cp_seq", "copy_mask", "tile_src", "tile_rel",
+    "tile_dst", "tile_rel_src", "rel_sort", "rel_bnd", "rel_sortT",
+    "rel_bndT", "bank_map",
 )
 # sparse edge cells [B, S_dst, S_src, Ec]: batch over 'data', destination
 # block over 'graph' (each device owns its node block's incoming edges)
 _EDGE_CELLS = ("edge_src", "edge_dst", "edge_rel", "edge_mask")
 
 
-def arrays_shardings(mesh: Mesh, arrays: Dict[str, np.ndarray]) -> Dict:
+def arrays_shardings(mesh: Mesh, arrays: Dict[str, np.ndarray],
+                     cp_schedule: str = "ring") -> Dict:
+    """Sharding rule per array name.
+
+    cp_schedule picks the edge-cell shard axis: the ring schedule consumes
+    cells sharded on the DST-block dim (axis 1), the a2a schedule on the
+    SRC-block dim (axis 2) — matching each schedule's shard_map in_specs so
+    GSPMD inserts no resharding collective at the shard_map boundary
+    (ADVICE r2 medium)."""
+    cell_spec = (P("data", "graph", None, None) if cp_schedule != "a2a"
+                 else P("data", None, "graph", None))
     out = {}
     for k, v in arrays.items():
         if k in _EDGE_CELLS:
-            out[k] = NamedSharding(mesh, P("data", "graph", None, None))
+            out[k] = NamedSharding(mesh, cell_spec)
         elif k in _BATCH_LEADING:
             out[k] = batch_sharding(mesh, v.ndim)
         else:
@@ -85,8 +97,9 @@ def _put_global(sharding: NamedSharding, value: np.ndarray):
         value.shape, sharding, shards)
 
 
-def shard_arrays(mesh: Mesh, arrays: Dict[str, np.ndarray]) -> Dict:
+def shard_arrays(mesh: Mesh, arrays: Dict[str, np.ndarray],
+                 cp_schedule: str = "ring") -> Dict:
     """Host -> device transfer with the mesh layout applied (DP batch
     sharding, 'graph' edge-cell sharding, replicated bank)."""
-    sh = arrays_shardings(mesh, arrays)
+    sh = arrays_shardings(mesh, arrays, cp_schedule=cp_schedule)
     return {k: _put_global(sh[k], np.asarray(v)) for k, v in arrays.items()}

@@ -7,8 +7,7 @@ that schedule as the graph analog of ring attention:
 
   * node features (q, k, v) are sharded over the mesh's 'graph' axis in
     contiguous node blocks — per-device node memory is O(N/S * D), shrinking
-    with the mesh (unlike round-1's edge_partition.py, which replicated all
-    node features on every device);
+    with the mesh;
   * edges are sharded by DESTINATION block ([B, S_dst, S_src, Ec] cell
     layout from batchify, sharded on S_dst), so the segment softmax over
     incoming edges of a node is entirely LOCAL — no cross-device reduction;

@@ -23,7 +23,8 @@ from gtos_tpu.train.trainer import TrainState
 
 def make_sharded_train_step(model: Generator, tx, mesh: Mesh,
                             example_arrays: Dict,
-                            example_state=None) -> Callable:
+                            example_state=None,
+                            cp_schedule: str = "ring") -> Callable:
     """Returns train_step(state, arrays) with DP (+ optional TP) shardings
     baked in.
 
@@ -39,7 +40,7 @@ def make_sharded_train_step(model: Generator, tx, mesh: Mesh,
         state_sh = state_shardings(mesh, example_state)
     else:
         state_sh = rep
-    arr_sh = arrays_shardings(mesh, example_arrays)
+    arr_sh = arrays_shardings(mesh, example_arrays, cp_schedule=cp_schedule)
 
     @functools.partial(
         jax.jit,

@@ -41,8 +41,19 @@ class CheckpointManager:
     def save(self, step: int, state, cursor: Optional[dict] = None):
         """cursor: dataloader position {'epoch': int, 'batch': int} so
         resume continues mid-epoch instead of restarting the epoch order
-        (SURVEY.md §5 checkpoint row; VERDICT r1 missing #6)."""
-        self.mgr.save(step, args=ocp.args.StandardSave(state))
+        (SURVEY.md §5 checkpoint row; VERDICT r1 missing #6).
+
+        Params and the optimizer extras are separate checkpoint items so
+        inference can restore params WITHOUT reading the Adam moments
+        (VERDICT r2 weak #8) — the reference's work.py similarly reloads
+        only the model state_dict (SURVEY.md §3.5)."""
+        self.mgr.save(step, args=ocp.args.Composite(
+            params=ocp.args.StandardSave(state.params),
+            extras=ocp.args.StandardSave({
+                "opt_state": state.opt_state,
+                "step": state.step,
+                "rng": state.rng,
+            })))
         if cursor is not None and jax.process_index() == 0:
             with open(os.path.join(self.directory, "cursor.json"), "w") as f:
                 json.dump(dict(cursor, step=step), f)
@@ -54,8 +65,26 @@ class CheckpointManager:
         step = self.mgr.latest_step()
         if step is None:
             return None
-        return self.mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract_state))
+        r = self.mgr.restore(step, args=ocp.args.Composite(
+            params=ocp.args.StandardRestore(abstract_state.params),
+            extras=ocp.args.StandardRestore({
+                "opt_state": abstract_state.opt_state,
+                "step": abstract_state.step,
+                "rng": abstract_state.rng,
+            })))
+        from gtos_tpu.train.trainer import TrainState
+        return TrainState(params=r["params"], **r["extras"])
+
+    def restore_params(self, abstract_params):
+        """Params-only restore (inference): reads just the `params` item —
+        no optimizer-moment IO or memory. abstract_params may come from
+        jax.eval_shape over model.init, so nothing is materialized twice."""
+        step = self.mgr.latest_step()
+        if step is None:
+            return None
+        r = self.mgr.restore(step, args=ocp.args.Composite(
+            params=ocp.args.StandardRestore(abstract_params)))
+        return r["params"]
 
     def load_cursor(self) -> Optional[dict]:
         """The dataloader cursor saved with the LATEST step (None if absent

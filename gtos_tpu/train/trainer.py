@@ -131,7 +131,8 @@ class Trainer:
             from gtos_tpu.parallel.train import make_sharded_train_step
             self.train_step = make_sharded_train_step(
                 model, self.tx, mesh, example_arrays,
-                example_state=self.state)
+                example_state=self.state,
+                cp_schedule=model_cfg.cp_schedule)
             if mesh.shape.get("model", 1) > 1:
                 from gtos_tpu.parallel.tensor_parallel import shard_state
                 self.state = shard_state(mesh, self.state)
@@ -156,7 +157,8 @@ class Trainer:
         if self.mesh is None:
             return jax.device_put(arrays)
         from gtos_tpu.parallel.mesh import shard_arrays
-        return shard_arrays(self.mesh, arrays)
+        return shard_arrays(self.mesh, arrays,
+                            cp_schedule=self.model_cfg.cp_schedule)
 
     def _prep(self, batch):
         """Host-side work per batch (runs in the prefetch thread): pack to
@@ -214,13 +216,17 @@ class Trainer:
             skip = self._resume_cursor["batch"]
             self._resume_cursor = None
         while step < cfg.total_steps:
-            batch_idx = 0
-            for raw, arrays in prefetch_iter(train_loader, self._prep,
+            # drop resumed-past batches BEFORE _prep so deep mid-epoch
+            # resumes don't pay batch packing + H2D per skipped batch
+            # (ADVICE r2): islice consumes them from the loader without
+            # entering the prefetch pipeline
+            import itertools
+            batch_idx = skip
+            src = itertools.islice(iter(train_loader), skip, None)
+            skip = 0
+            for raw, arrays in prefetch_iter(src, self._prep,
                                              depth=self.prefetch):
                 batch_idx += 1
-                if skip > 0:
-                    skip -= 1
-                    continue
                 self.state, metrics = self.train_step(self.state, arrays)
                 step += 1
                 pending.append((step, metrics))

