@@ -12,7 +12,9 @@ from __future__ import annotations
 import random
 from typing import Iterator, List, Optional, Sequence
 
-from gtos_tpu.data.batching import BucketSpec, GraphBatch, Instance, batchify
+from gtos_tpu.data.batching import (
+    BatchCapacityError, BucketSpec, GraphBatch, Instance, batchify,
+)
 from gtos_tpu.data.vocab import LexicalMap, Vocab
 from gtos_tpu.graph.ir import Graph
 from gtos_tpu.graph.paths import RelationPathConfig, relation_paths
@@ -72,6 +74,7 @@ class DataLoader:
         cp_shards: int = 1,
         sparse_khop: int = 0,
         build_block_tiles: bool = False,
+        build_local_banks: bool = False,
     ):
         self.instances = list(instances)
         self.vocabs = dict(
@@ -92,6 +95,7 @@ class DataLoader:
         self.cp_shards = cp_shards
         self.sparse_khop = sparse_khop
         self.build_block_tiles = build_block_tiles
+        self.build_local_banks = build_local_banks
 
     def _cost(self, inst: Instance) -> int:
         return max(len(inst.target) + 1, len(inst.concepts) + 1)
@@ -154,8 +158,9 @@ class DataLoader:
                 build_edges=self.build_edges, cp_shards=self.cp_shards,
                 sparse_khop=self.sparse_khop,
                 build_block_tiles=self.build_block_tiles,
+                build_local_banks=self.build_local_banks,
             ), group
-        except AssertionError:
+        except BatchCapacityError:
             if len(group) == 1:
                 raise  # a single instance exceeding the bank cap is a
                 # data/config problem, not a batching problem

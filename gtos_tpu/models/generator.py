@@ -180,11 +180,13 @@ class Generator(nn.Module):
 def batch_edges(batch: Dict[str, jnp.ndarray]):
     """Extract the sparse-encoder edge arrays from a batch dict, if present
     (COO cells for impl='sparse'; plus block tiles for 'block_sparse')."""
-    if "edge_src" not in batch:
-        return None
     keys = ("edge_src", "edge_dst", "edge_rel", "edge_mask", "tile_src",
-            "tile_rel", "tile_dst", "tile_rel_src")
-    return {k: batch[k] for k in keys if k in batch}
+            "tile_rel", "tile_dst", "tile_rel_src",
+            # localized-bank auxiliaries (impl='pallas_local')
+            "bank_map", "rel_index_loc", "rel_sort", "rel_bnd",
+            "rel_sortT", "rel_bndT")
+    out = {k: batch[k] for k in keys if k in batch}
+    return out or None
 
 
 def _scatter_add_last(ext, idx, vals):

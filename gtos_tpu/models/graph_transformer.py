@@ -68,6 +68,32 @@ class RelationMultiheadAttention(nn.Module):
                 f"impl={self.impl!r} needs edge tensors (batchify "
                 "build_edges / build_block_tiles)")
             out = self._sparse(q, k, v, a_bank, b_bank, edges)
+        elif self.impl in ("pallas_local", "pallas_local_interpret"):
+            # localized fused kernel: per-graph banks via bank_map (the
+            # gather's VJP scatter-adds local bank grads back to the
+            # global rows in XLA); batchify build_local_banks=True
+            assert edges is not None and "bank_map" in edges, (
+                f"impl={self.impl!r} needs localized-bank arrays "
+                "(batchify build_local_banks=True)")
+            from gtos_tpu.ops.pallas.local_relation_attention import (
+                local_relation_attention,
+                local_relation_attention_trainable,
+            )
+            interp = self.impl.endswith("_interpret")
+            a_loc = a_bank[edges["bank_map"]]     # [B, P_loc, H, Dh]
+            b_loc = b_bank[edges["bank_map"]]
+            if "rel_sort" in edges:
+                out = local_relation_attention_trainable(
+                    q, k, v, a_loc, b_loc, edges["rel_index_loc"],
+                    node_mask, edges["rel_sort"], edges["rel_bnd"],
+                    edges["rel_sortT"], edges["rel_bndT"],
+                    interpret=interp)
+            else:
+                # inference batches ship no sorted-scatter auxiliaries;
+                # forward-only kernel (not differentiable)
+                out = local_relation_attention(
+                    q, k, v, a_loc, b_loc, edges["rel_index_loc"],
+                    node_mask, interpret=interp)
         elif self.impl in ("pallas", "pallas_interpret"):
             from gtos_tpu.ops.pallas import relation_attention_trainable
             out = relation_attention_trainable(

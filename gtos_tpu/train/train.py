@@ -68,8 +68,9 @@ def parse_args(argv=None):
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--attention_impl", default="xla",
-                   choices=["xla", "pallas", "pallas_interpret", "sparse",
-                            "block_sparse"])
+                   choices=["xla", "pallas", "pallas_interpret",
+                            "pallas_local", "pallas_local_interpret",
+                            "sparse", "block_sparse"])
     p.add_argument("--sparse_khop", type=int, default=0,
                    help="sparse encoder: keep pairs within k path labels "
                         "(0 = all pairs); only with --attention_impl sparse")
@@ -271,7 +272,9 @@ def main(argv=None):
     dl_kw = dict(batch_multiple=args.dp or 1, spec=spec, build_edges=sparse,
                  cp_shards=args.graph, sparse_khop=args.sparse_khop,
                  build_block_tiles=args.attention_impl.startswith(
-                     "block_sparse"))
+                     "block_sparse"),
+                 build_local_banks=args.attention_impl.startswith(
+                     "pallas_local"))
     instances = preprocess(graphs, targets, path_cfg)
     dev_instances = preprocess(dev_graphs, dev_targets, path_cfg)
     dl = DataLoader(instances, tv, cv, rv, chv, lm,
