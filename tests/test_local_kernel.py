@@ -1,0 +1,176 @@
+"""Localized relation-attention kernels (ops/pallas/local_relation_attention)
+vs the XLA bank decomposition: forward and gradients, plus the model-level
+pallas_local impl vs xla (interpret mode on CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gtos_tpu.ops.attention import bank_relation_attention
+from gtos_tpu.ops.pallas.local_relation_attention import (
+    local_relation_attention, local_relation_attention_trainable,
+)
+
+
+def sort_bnd(ix, P_loc):
+    """Host reference for batchify's sorted-scatter auxiliaries."""
+    Bb, Nn, _ = ix.shape
+    srt = np.argsort(ix, axis=2, kind="stable").astype(np.int32)
+    off = (np.arange(Bb * Nn, dtype=np.int64) * P_loc).reshape(Bb, Nn, 1)
+    cnt = np.bincount((ix.astype(np.int64) + off).ravel(),
+                      minlength=Bb * Nn * P_loc)
+    bnd = np.cumsum(cnt.reshape(Bb, Nn, P_loc), axis=2).astype(np.int32)
+    return srt, bnd
+
+
+def build_case(B, H, N, Dh, P, P_loc, seed=0):
+    rng = np.random.default_rng(seed)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    q, k, v = (jax.random.normal(kk, (B, H, N, Dh)) for kk in ks[:3])
+    a_bank = jax.random.normal(ks[3], (P, H, Dh)) * 0.5
+    b_bank = jax.random.normal(ks[4], (P, H, Dh)) * 0.5
+    bank_map = np.zeros((B, P_loc), np.int32)
+    idx_loc = np.zeros((B, N, N), np.int32)
+    rel_index = np.zeros((B, N, N), np.int32)
+    for b in range(B):
+        nloc = rng.integers(P_loc // 2, P_loc)
+        rows = np.concatenate(
+            [[0], np.sort(rng.choice(np.arange(1, P), nloc - 1,
+                                     replace=False))])
+        bank_map[b, :nloc] = rows
+        il = rng.integers(0, nloc, (N, N))
+        idx_loc[b] = il
+        rel_index[b] = rows[il]
+    mask = np.ones((B, N), bool)
+    mask[0, N - 5:] = False
+    srt, bnd = sort_bnd(idx_loc, P_loc)
+    srtT, bndT = sort_bnd(
+        np.ascontiguousarray(idx_loc.transpose(0, 2, 1)), P_loc)
+    j = jnp.asarray
+    return (q, k, v, a_bank, b_bank, j(rel_index), j(mask), j(bank_map),
+            j(idx_loc), j(srt), j(bnd), j(srtT), j(bndT))
+
+
+@pytest.mark.parametrize("B,H,N,Dh,P,P_loc", [
+    (2, 2, 32, 16, 200, 128),
+    (2, 2, 16, 16, 600, 512),
+    (1, 3, 64, 32, 300, 256),
+])
+def test_localized_forward_matches_dense(B, H, N, Dh, P, P_loc):
+    (q, k, v, a_bank, b_bank, rel_index, mask, bank_map, idx_loc,
+     *_aux) = build_case(B, H, N, Dh, P, P_loc)
+    ref, _ = bank_relation_attention(q, k, v, a_bank, b_bank, rel_index,
+                                     mask)
+    out = local_relation_attention(
+        q, k, v, a_bank[bank_map], b_bank[bank_map], idx_loc, mask,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("B,H,N,Dh,P,P_loc", [
+    (2, 2, 32, 16, 200, 128),
+    (1, 3, 64, 32, 300, 256),
+])
+def test_localized_grads_match_dense_vjp(B, H, N, Dh, P, P_loc):
+    """Grads wrt q, k, v AND both GLOBAL banks: the sorted-scatter backward
+    plus the bank_map gather's XLA scatter-add must reproduce autodiff of
+    the dense reference."""
+    (q, k, v, a_bank, b_bank, rel_index, mask, bank_map, idx_loc,
+     srt, bnd, srtT, bndT) = build_case(B, H, N, Dh, P, P_loc)
+
+    def loss_kernel(q, k, v, ab, bb):
+        o = local_relation_attention_trainable(
+            q, k, v, ab[bank_map], bb[bank_map], idx_loc, mask,
+            srt, bnd, srtT, bndT, interpret=True)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v, ab, bb):
+        o, _ = bank_relation_attention(q, k, v, ab, bb, rel_index, mask)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    g_k = jax.jit(jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4)))(
+        q, k, v, a_bank, b_bank)
+    g_r = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4)))(
+        q, k, v, a_bank, b_bank)
+    for name, a, b in zip("qkvab", g_k, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_model_pallas_local_matches_xla():
+    """Full-model loss and gradients agree between attention_impl=xla and
+    pallas_local on real batchify output with build_local_banks."""
+    from gtos_tpu.data import batchify
+    from gtos_tpu.data.dataloader import preprocess
+    from gtos_tpu.data.extract import build_vocabs
+    from gtos_tpu.data.synthetic import synthetic_amr_corpus
+    from gtos_tpu.models import Generator
+    from gtos_tpu.utils.config import ModelConfig
+
+    graphs, targets = synthetic_amr_corpus(8, seed=11, min_nodes=3,
+                                           max_nodes=8)
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    batch = batchify(instances, tv, cv, rv, chv, lm, batch_size_bucket=8,
+                     build_local_banks=True)
+    arrays = batch.arrays()
+    assert "bank_map" in arrays and "rel_sort" in arrays
+    cfg = ModelConfig(
+        token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
+        char_vocab=len(chv), d_model=32, d_ff=64, heads=2, enc_layers=2,
+        dec_layers=1, char_dim=8, char_filters=16, rel_emb_dim=8,
+        rel_hidden=16, max_oov=16, max_target_len=32, dropout=0.0,
+        attention_impl="pallas_local_interpret")
+    model = Generator(cfg)
+    xla_model = Generator(dataclasses.replace(cfg, attention_impl="xla"))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        arrays, deterministic=True)
+
+    def gloss(m):
+        def f(p):
+            return m.apply(p, arrays, deterministic=True)[0]
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    (l_loc, g_loc), (l_xla, g_xla) = gloss(model), gloss(xla_model)
+    np.testing.assert_allclose(float(l_loc), float(l_xla), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_loc),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_inference_batch_forward_only():
+    """for_train=False batches carry bank_map/rel_index_loc but no
+    sorted-scatter aux; the model routes to the forward-only kernel."""
+    from gtos_tpu.data import batchify
+    from gtos_tpu.data.dataloader import preprocess
+    from gtos_tpu.data.extract import build_vocabs
+    from gtos_tpu.data.synthetic import synthetic_amr_corpus
+    from gtos_tpu.models import Generator
+    from gtos_tpu.utils.config import ModelConfig
+
+    graphs, targets = synthetic_amr_corpus(4, seed=13, min_nodes=3,
+                                           max_nodes=6)
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    batch = batchify(instances, tv, cv, rv, chv, lm, batch_size_bucket=4,
+                     for_train=False, build_local_banks=True)
+    assert batch.bank_map is not None and batch.rel_sort is None
+    cfg = ModelConfig(
+        token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
+        char_vocab=len(chv), d_model=32, d_ff=64, heads=2, enc_layers=1,
+        dec_layers=1, char_dim=8, char_filters=16, rel_emb_dim=8,
+        rel_hidden=16, max_oov=16, max_target_len=32, dropout=0.0,
+        attention_impl="pallas_local_interpret")
+    model = Generator(cfg)
+    arrays = batch.arrays()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        arrays, deterministic=True)
+    loss, metrics = model.apply(params, arrays, deterministic=True)
+    assert np.isfinite(float(loss))
