@@ -125,6 +125,10 @@ class GraphBatch:
     # backward kernel's dK/dV pass (see ops.block_sparse pack_block_sparse_src)
     tile_dst: Optional[np.ndarray] = None      # [B, Ts, Smax_s] int32
     tile_rel_src: Optional[np.ndarray] = None  # [B, Ts, Smax_s, 128, 128]
+    # per-(dst,src)-block cell tile layout for the ring-CP x block-sparse
+    # composition (cp_shards > 1; see ops.block_sparse.pack_block_sparse_cells)
+    ctile_src: Optional[np.ndarray] = None  # [B, S, S, Tdl, Smax_c] int32
+    ctile_rel: Optional[np.ndarray] = None  # [B, S, S, Tdl, Smax_c, T, T]
     # per-graph LOCALIZED relation bank (built with build_local_banks=True;
     # consumed by the localized Pallas kernel, ops.pallas.local_relation_
     # attention): each graph references only its own P_loc distinct paths,
@@ -182,6 +186,7 @@ def batchify(
     sparse_khop: int = 0,
     build_block_tiles: bool = False,
     build_local_banks: bool = False,
+    host_shard: Optional[Tuple[int, int]] = None,
 ) -> GraphBatch:
     """Assemble one static-shape GraphBatch from preprocessed instances.
 
@@ -191,9 +196,30 @@ def batchify(
     dense path); k > 0 keeps pairs whose shortest path has <= k labels
     (self and global-node pairs always kept, unreachable pairs dropped) —
     the O(E) scaling mode for graphs too large for dense attention.
+    host_shard: (rank, world) multi-host input sharding (SURVEY.md §7
+    stage 5; VERDICT r2 missing #2). Every host runs the cheap global
+    passes (bucket sizing + relation-bank dedup, which must be identical
+    everywhere so shapes and bank ids agree without communication), but
+    the EXPENSIVE per-row array building — token/char fills, edge-cell
+    packing, tile packing, sorted-scatter auxiliaries — runs only for the
+    contiguous row slice this host's devices own; other rows stay zero
+    and are never transferred (parallel.mesh._put_global slices only the
+    addressable devices' rows).
     """
     B = batch_size_bucket or len(instances)
     assert B >= len(instances)
+    if host_shard is not None:
+        rank, world = host_shard
+        if B % world != 0:
+            raise BatchCapacityError(
+                f"batch bucket {B} not divisible by host count {world}; "
+                "set DataLoader batch_multiple to a multiple of it")
+        own_lo, own_hi = rank * (B // world), (rank + 1) * (B // world)
+    else:
+        own_lo, own_hi = 0, B
+
+    def owned(b):
+        return own_lo <= b < own_hi
 
     N = BucketSpec.fit(spec.nodes, max(len(i.concepts) + 1 for i in instances))
     T = BucketSpec.fit(spec.target, max(len(i.target) + 1 for i in instances))
@@ -207,6 +233,15 @@ def batchify(
 
     def bank_id(path: Tuple[str, ...]) -> int:
         path = path[:L_cap]
+        # khop pruning keeps only pairs whose path has <= k labels; the
+        # pruned pairs are masked out of every sparse consumer, so their
+        # paths must NOT inflate the bank (at 200-node graphs the full
+        # pairwise path set runs to tens of thousands of rows, which blows
+        # up both the GRU cost and the kernels' bank-chunk loops). Map
+        # them to the NONE (unreachable) row — _build_edge_cells already
+        # excludes NONE paths from the kept set.
+        if sparse_khop > 0 and len(path) > sparse_khop:
+            path = (NONE_LABEL,)
         idx = bank_index.get(path)
         if idx is None:
             idx = len(bank_paths)
@@ -237,12 +272,15 @@ def batchify(
             raise BatchCapacityError(
                 f"instance with {n_real} nodes exceeds node cap {N}")
 
-        concept[b, 0] = concept_vocab.cls_id
-        concept_char[b, 0, :] = char_vocab.pad_id
+        # mask and rel_index are filled for EVERY row: bucket sizing and
+        # the bank dedup must be host-invariant (host_shard docstring)
         concept_mask[b, :nodes_here] = True
-        for i, c in enumerate(inst.concepts):
-            concept[b, i + 1] = concept_vocab.encode(c)
-            concept_char[b, i + 1] = _encode_chars(c, char_vocab, C)
+        if owned(b):
+            concept[b, 0] = concept_vocab.cls_id
+            concept_char[b, 0, :] = char_vocab.pad_id
+            for i, c in enumerate(inst.concepts):
+                concept[b, i + 1] = concept_vocab.encode(c)
+                concept_char[b, i + 1] = _encode_chars(c, char_vocab, C)
 
         # relations: global node row/col, then real pairs via the bank
         gid = bank_id(global_path)
@@ -262,6 +300,11 @@ def batchify(
                 row = pp[i]
                 for j in range(n_real):
                     rel_index[b, i + 1, j + 1] = bank_id(row[j])
+
+        if not owned(b):
+            oov_lists.append([])
+            metas.append(inst.meta)
+            continue
 
         # copy targets -> extended vocab ids (capped at spec.max_oov so
         # extended ids never exceed the model's ext_vocab; OOVs past the
@@ -313,25 +356,50 @@ def batchify(
 
     local_arrays = {}
     if build_local_banks:
-        local_arrays = _build_local_banks(rel_index, spec, for_train)
+        local_arrays = _build_local_banks(rel_index, spec, for_train,
+                                          own=(own_lo, own_hi))
 
     edge_arrays = {}
     if build_edges or build_block_tiles:
         edge_arrays, keep = _build_edge_cells(
-            concept_mask, rel_index, bank_paths, spec, cp_shards, sparse_khop)
+            concept_mask, rel_index, bank_paths, spec, cp_shards,
+            sparse_khop, own=(own_lo, own_hi))
         if build_block_tiles:
             from gtos_tpu.ops.block_sparse import (
-                TILE, pack_block_sparse, pack_block_sparse_src,
+                TILE, pack_block_sparse, pack_block_sparse_cells,
+                pack_block_sparse_src,
             )
+            if cp_shards > 1:
+                # ring-CP x block-sparse composition: per-(dst,src)-block
+                # cell tile packing with block-local ids; the node bucket
+                # must make every block tile-aligned so the edge cells
+                # (built on N) and the tile cells describe the same blocks
+                if N % (cp_shards * TILE) != 0:
+                    raise BatchCapacityError(
+                        f"node bucket {N} must be a multiple of "
+                        f"cp_shards*{TILE} = {cp_shards * TILE} for the "
+                        "block-sparse CP layout; use a BucketSpec with "
+                        "node buckets of that granularity")
             Np = -(-N // TILE) * TILE
             keep_p = np.zeros((B, Np, Np), bool)
             keep_p[:, :N, :N] = keep
             rel_p = np.zeros((B, Np, Np), np.int32)
             rel_p[:, :N, :N] = rel_index
-            ts, tr = pack_block_sparse(keep_p, rel_p)
-            td, trs = pack_block_sparse_src(keep_p, rel_p)
-            edge_arrays = dict(edge_arrays, tile_src=ts, tile_rel=tr,
-                               tile_dst=td, tile_rel_src=trs)
+            # per-row host sharding: zero the keep rows this host does
+            # not own AFTER the (host-invariant) Smax sizing below; the
+            # pack helpers derive sizes from the full block map first
+            if cp_shards > 1:
+                cts, ctr = pack_block_sparse_cells(
+                    keep_p, rel_p, cp_shards, own=(own_lo, own_hi))
+                edge_arrays = dict(edge_arrays, ctile_src=cts,
+                                   ctile_rel=ctr)
+            else:
+                ts, tr = pack_block_sparse(keep_p, rel_p,
+                                           own=(own_lo, own_hi))
+                td, trs = pack_block_sparse_src(keep_p, rel_p,
+                                                own=(own_lo, own_hi))
+                edge_arrays = dict(edge_arrays, tile_src=ts, tile_rel=tr,
+                                   tile_dst=td, tile_rel_src=trs)
         if not build_edges:
             edge_arrays = {k: v for k, v in edge_arrays.items()
                            if k.startswith("tile_")}
@@ -355,7 +423,8 @@ def batchify(
     )
 
 
-def _build_local_banks(rel_index, spec: BucketSpec, for_train: bool):
+def _build_local_banks(rel_index, spec: BucketSpec, for_train: bool,
+                       own=None):
     """Per-graph localized relation-bank view (all vectorized numpy).
 
     Each graph's distinct bank rows get contiguous local slots 0..P_loc-1
@@ -368,6 +437,7 @@ def _build_local_banks(rel_index, spec: BucketSpec, for_train: bool):
     transpose of the gather becomes a lane prefix-sum plus two boundary
     gathers (see ops/pallas/local_relation_attention.py)."""
     B, N, _ = rel_index.shape
+    own_lo, own_hi = own if own is not None else (0, B)
     maps, locs, widths = [], [], []
     for b in range(B):
         # prepend row 0 so the pad path always owns slot 0 (np.unique
@@ -390,12 +460,20 @@ def _build_local_banks(rel_index, spec: BucketSpec, for_train: bool):
     out = {"bank_map": bank_map, "rel_index_loc": idx}
     if for_train:
         def sort_bnd(ix):
-            srt = np.argsort(ix, axis=2, kind="stable").astype(np.int32)
-            off = (np.arange(B * N, dtype=np.int64) * P_loc).reshape(B, N, 1)
-            cnt = np.bincount((ix.astype(np.int64) + off).ravel(),
-                              minlength=B * N * P_loc)
-            bnd = np.cumsum(cnt.reshape(B, N, P_loc), axis=2,
-                            dtype=np.int64).astype(np.int32)
+            """Sorted-scatter auxiliaries for the OWNED row slice only
+            (zeros elsewhere; other hosts build their own slices)."""
+            nb = own_hi - own_lo
+            ixo = ix[own_lo:own_hi]
+            srt = np.zeros((B, N, N), np.int32)
+            srt[own_lo:own_hi] = np.argsort(ix[own_lo:own_hi], axis=2,
+                                            kind="stable")
+            off = (np.arange(nb * N, dtype=np.int64) * P_loc).reshape(
+                nb, N, 1)
+            cnt = np.bincount((ixo.astype(np.int64) + off).ravel(),
+                              minlength=nb * N * P_loc)
+            bnd = np.zeros((B, N, P_loc), np.int32)
+            bnd[own_lo:own_hi] = np.cumsum(
+                cnt.reshape(nb, N, P_loc), axis=2, dtype=np.int64)
             return srt, bnd
         out["rel_sort"], out["rel_bnd"] = sort_bnd(idx)
         out["rel_sortT"], out["rel_bndT"] = sort_bnd(
@@ -404,7 +482,7 @@ def _build_local_banks(rel_index, spec: BucketSpec, for_train: bool):
 
 
 def _build_edge_cells(concept_mask, rel_index, bank_paths, spec: BucketSpec,
-                      cp_shards: int, sparse_khop: int):
+                      cp_shards: int, sparse_khop: int, own=None):
     """COO edge cells for the sparse / context-parallel encoder.
 
     Returns {'edge_src', 'edge_dst', 'edge_rel', 'edge_mask'}, each
@@ -415,6 +493,7 @@ def _build_edge_cells(concept_mask, rel_index, bank_paths, spec: BucketSpec,
     ring step; with S=1 the layout is plain batched COO.
     """
     B, N = concept_mask.shape
+    own_lo, own_hi = own if own is not None else (0, B)
     S = cp_shards
     assert N % S == 0, f"node bucket {N} not divisible by cp_shards {S}"
     nl = N // S
@@ -459,8 +538,8 @@ def _build_edge_cells(concept_mask, rel_index, bank_paths, spec: BucketSpec,
     erel = np.zeros((B, S, S, Ec), dtype=np.int32)
     emask = np.zeros((B, S, S, Ec), dtype=bool)
     for b, (ii, jj, cell, cnt) in enumerate(per_b):
-        if cell is None:
-            continue
+        if cell is None or not (own_lo <= b < own_hi):
+            continue  # sizing used every row; the fill is host-sharded
         starts = np.zeros(S * S, dtype=np.int64)
         np.cumsum(cnt[:-1], out=starts[1:])
         pos = np.arange(len(cell)) - starts[cell]
