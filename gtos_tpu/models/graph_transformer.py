@@ -110,6 +110,20 @@ class RelationMultiheadAttention(nn.Module):
                                edges["edge_rel"], edges["edge_mask"])
         if self.cp_mesh is not None and \
                 self.cp_mesh.shape.get(self.cp_axis, 1) > 1:
+            if self.impl.startswith("block_sparse"):
+                # the composed flagship: ring CP with the Pallas tile
+                # kernel as the per-step compute (VERDICT r2 next #2)
+                from gtos_tpu.parallel.ring_block_sparse import (
+                    ring_block_sparse_relation_attention,
+                )
+                assert "ctile_src" in edges, (
+                    "block_sparse + CP needs the per-cell tile layout "
+                    "(batchify build_block_tiles with cp_shards > 1)")
+                return ring_block_sparse_relation_attention(
+                    self.cp_mesh, q, k, v, a_bank, b_bank,
+                    edges["ctile_src"], edges["ctile_rel"],
+                    src, dst, rel, mask, axis_name=self.cp_axis,
+                    interpret=self.impl.endswith("_interpret"))
             if self.cp_schedule == "a2a":
                 from gtos_tpu.parallel.a2a_attention import (
                     a2a_sparse_relation_attention,

@@ -54,6 +54,9 @@ _BATCH_LEADING = (
 # sparse edge cells [B, S_dst, S_src, Ec]: batch over 'data', destination
 # block over 'graph' (each device owns its node block's incoming edges)
 _EDGE_CELLS = ("edge_src", "edge_dst", "edge_rel", "edge_mask")
+# per-cell tile layouts [B, S_dst, S_src, ...] for block-sparse CP: same
+# dst-block sharding as the edge cells (the ring schedule's layout)
+_CTILE = ("ctile_src", "ctile_rel")
 
 
 def arrays_shardings(mesh: Mesh, arrays: Dict[str, np.ndarray],
@@ -71,6 +74,9 @@ def arrays_shardings(mesh: Mesh, arrays: Dict[str, np.ndarray],
     for k, v in arrays.items():
         if k in _EDGE_CELLS:
             out[k] = NamedSharding(mesh, cell_spec)
+        elif k in _CTILE:
+            out[k] = NamedSharding(
+                mesh, P("data", "graph", *([None] * (v.ndim - 2))))
         elif k in _BATCH_LEADING:
             out[k] = batch_sharding(mesh, v.ndim)
         else:

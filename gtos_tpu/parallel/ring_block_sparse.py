@@ -1,0 +1,193 @@
+"""Ring context-parallel BLOCK-SPARSE relation attention — the composed
+flagship path (VERDICT r2 next #2).
+
+Round 2 shipped the two halves separately: a ppermute ring whose per-step
+compute was the XLA segment path (parallel/ring_attention.py), and a fast
+single-device Pallas tile kernel (ops/pallas/block_sparse_attention.py).
+This module runs the TILE KERNEL as the per-ring-step compute:
+
+  * node features q/k/v are sharded into contiguous blocks over the mesh's
+    'graph' axis; k/v blocks rotate via jax.lax.ppermute, issued BEFORE the
+    step's compute so XLA overlaps the collective with the local tiles;
+  * the host packs kept pairs per (dst-block, src-block) CELL with
+    block-local tile ids (ops.block_sparse.pack_block_sparse_cells), so at
+    ring step t each device hands cell (local, j) straight to the
+    single-device kernel — scalar-prefetched src tiles, dense MXU blocks,
+    flash softmax, empty blocks skipped;
+  * per-step (out, m, l) streamed-softmax partials are merged
+    flash-attention-style across steps, which is exact.
+
+Backward: gradients flow through a custom VJP that differentiates the
+edge-cell XLA ring (parallel/ring_attention.py) — the SAME function on the
+SAME kept-pair set, already grad-parity-tested — so the composed path
+trains today with the fast forward; a fully fused Pallas ring backward
+(two-pass per step, reverse-ring dk/dv accumulation) is the next
+optimization step and is noted in README.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as _np
+from jax.sharding import Mesh, PartitionSpec as P
+
+NEG_INF = -1e9
+
+
+def _ring_body(q, k, v, a_bank, b_bank, ctile_src, ctile_rel, *,
+               axis_name: str, n_shards: int, scale, interpret: bool):
+    """Per-device body under shard_map.
+
+    q, k, v: [B, H, Nl, D] (this device's node block); ctile_src:
+    [B, 1, S, Tdl, Smax_c]; ctile_rel: [B, 1, S, Tdl, Smax_c, T, T]
+    (this device's dst-block row of cells, block-local tile ids)."""
+    from gtos_tpu.ops.pallas.block_sparse_attention import (
+        block_sparse_relation_attention,
+    )
+
+    B, H, Nl, D = q.shape
+    S = n_shards
+    s = jax.lax.axis_index(axis_name)
+    ctile_src = ctile_src[:, 0]                    # [B, S, Tdl, Smax_c]
+    ctile_rel = ctile_rel[:, 0]
+    f32 = jnp.float32
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    m = jnp.full((B, H, Nl, 1), NEG_INF, f32)      # running max
+    l = jnp.zeros((B, H, Nl, 1), f32)              # running denominator
+    o = jnp.zeros((B, H, Nl, D), f32)              # running numerator
+
+    k_buf, v_buf = k, v
+    for t in range(S):
+        # kick off the next boundary exchange BEFORE this step's compute
+        # so XLA overlaps the collective-permute with the local tiles
+        if t < S - 1:
+            k_nxt = jax.lax.ppermute(k_buf, axis_name, perm)
+            v_nxt = jax.lax.ppermute(v_buf, axis_name, perm)
+
+        # the block currently held arrived from device (s - t) mod S
+        j = (s - t) % S
+        cell_src = jax.lax.dynamic_index_in_dim(
+            ctile_src, j, axis=1, keepdims=False)   # [B, Tdl, Smax_c]
+        cell_rel = jax.lax.dynamic_index_in_dim(
+            ctile_rel, j, axis=1, keepdims=False)   # [B, Tdl, Smax_c, T, T]
+        out_t, m_t, l_t = block_sparse_relation_attention(
+            q, k_buf, v_buf, a_bank, b_bank, cell_src, cell_rel,
+            interpret=interpret, scale=scale, with_stats=True)
+        m_t = m_t[:, :, :Nl, :1]                    # stats are lane-bcast
+        l_t = l_t[:, :, :Nl, :1]
+
+        # exact flash merge of this step's partial softmax
+        new_m = jnp.maximum(m, m_t)
+        alpha = jnp.exp(m - new_m)
+        beta = jnp.where(l_t > 0, jnp.exp(m_t - new_m), 0.0)
+        l = l * alpha + l_t * beta
+        # out_t is normalized by l_t; un-normalize before merging
+        o = o * alpha + out_t.astype(f32) * (l_t * beta)
+        m = new_m
+
+        if t < S - 1:
+            k_buf, v_buf = k_nxt, v_nxt
+
+    has_in = l > 0
+    safe = jnp.where(has_in, l, 1.0)
+    return jnp.where(has_in, o / safe, 0.0)
+
+
+def _pallas_ring_fwd(mesh, axis_name, interpret, scale, q, k, v, a_bank,
+                     b_bank, ctile_src, ctile_rel):
+    S = mesh.shape[axis_name]
+    body = functools.partial(_ring_body, axis_name=axis_name, n_shards=S,
+                             scale=scale, interpret=interpret)
+    # FULL-manual shard_map (all mesh axes) with check_vma=False:
+    # pallas_call does not yet carry varying-mesh-axes metadata, which
+    # rules out both vma checking and partial-auto mode here. Consequence:
+    # inputs are replicated over 'model' at entry (under TP, GSPMD
+    # all-gathers the head shards first) — the XLA ring keeps heads
+    # sharded; revisit when pallas_call supports vma.
+    data_ax = "data" if "data" in mesh.shape else None
+    node_sp = P(data_ax, None, axis_name, None)
+    cell_sp = P(data_ax, axis_name, None, None, None)
+    rel_sp = P(data_ax, axis_name, None, None, None, None, None)
+    rep = P()
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(node_sp, node_sp, node_sp, rep, rep, cell_sp, rel_sp),
+        out_specs=node_sp,
+        check_vma=False,
+    )(q, k, v, a_bank, b_bank, ctile_src, ctile_rel)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _ring_blk_vjp(mesh, axis_name, interpret, scale, q, k, v, a_bank,
+                  b_bank, ctile_src, ctile_rel, edge_src, edge_dst,
+                  edge_rel, edge_mask):
+    return _pallas_ring_fwd(mesh, axis_name, interpret, scale, q, k, v,
+                            a_bank, b_bank, ctile_src, ctile_rel)
+
+
+def _ring_blk_fwd(mesh, axis_name, interpret, scale, q, k, v, a_bank,
+                  b_bank, ctile_src, ctile_rel, edge_src, edge_dst,
+                  edge_rel, edge_mask):
+    out = _ring_blk_vjp(mesh, axis_name, interpret, scale, q, k, v, a_bank,
+                        b_bank, ctile_src, ctile_rel, edge_src, edge_dst,
+                        edge_rel, edge_mask)
+    return out, (q, k, v, a_bank, b_bank, ctile_src, ctile_rel, edge_src,
+                 edge_dst, edge_rel, edge_mask)
+
+
+def _ring_blk_bwd(mesh, axis_name, interpret, scale, res, g):
+    """Backward through the edge-cell XLA ring: the same function on the
+    same kept-pair set (the cells and tiles are both built from batchify's
+    `keep` matrix), still sharded over the same axis."""
+    from gtos_tpu.parallel.ring_attention import (
+        ring_sparse_relation_attention,
+    )
+
+    (q, k, v, a_bank, b_bank, ctile_src, ctile_rel, edge_src, edge_dst,
+     edge_rel, edge_mask) = res
+
+    def f(q, k, v, a_bank, b_bank):
+        return ring_sparse_relation_attention(
+            mesh, q, k, v, a_bank, b_bank, edge_src, edge_dst, edge_rel,
+            edge_mask, axis_name=axis_name, scale=scale)
+
+    _, vjp = jax.vjp(f, q, k, v, a_bank, b_bank)
+    gq, gk, gv, gab, gbb = vjp(g.astype(jnp.float32))
+    zeros = lambda x: _np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
+    return (gq.astype(q.dtype), gk.astype(k.dtype), gv.astype(v.dtype),
+            gab.astype(a_bank.dtype), gbb.astype(b_bank.dtype),
+            zeros(ctile_src), zeros(ctile_rel), zeros(edge_src),
+            zeros(edge_dst), zeros(edge_rel), zeros(edge_mask))
+
+
+_ring_blk_vjp.defvjp(_ring_blk_fwd, _ring_blk_bwd)
+
+
+def ring_block_sparse_relation_attention(
+    mesh: Mesh, q, k, v, a_bank, b_bank, ctile_src, ctile_rel,
+    edge_src, edge_dst, edge_rel, edge_mask,
+    axis_name: str = "graph", scale=None, interpret: bool = False,
+):
+    """Context-parallel block-sparse relation attention (ring schedule,
+    Pallas tile kernel per step; differentiable).
+
+    q, k, v: [B, H, N, D] node-sharded over `axis_name`; banks replicated;
+    ctile_src/ctile_rel: per-cell tile layout from
+    pack_block_sparse_cells, sharded on the dst-block dim (axis 1);
+    edge_* : [B, S, S, Ec] COO cells (same kept-pair set), consumed by the
+    backward. Returns out [B, H, N, D] f32, node-sharded."""
+    S = mesh.shape[axis_name]
+    N = q.shape[2]
+    assert N % S == 0, f"node dim {N} not divisible by '{axis_name}'={S}"
+    assert ctile_src.shape[1] == S and ctile_src.shape[2] == S, (
+        f"cell tile layout {ctile_src.shape} was built for "
+        f"cp_shards={ctile_src.shape[1]}, mesh has {S}")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _ring_blk_vjp(mesh, axis_name, interpret, scale, q, k, v,
+                         a_bank, b_bank, ctile_src, ctile_rel, edge_src,
+                         edge_dst, edge_rel, edge_mask)
