@@ -75,6 +75,8 @@ class DataLoader:
         sparse_khop: int = 0,
         build_block_tiles: bool = False,
         build_local_banks: bool = False,
+        host_rank: int = 0,
+        host_count: int = 1,
     ):
         self.instances = list(instances)
         self.vocabs = dict(
@@ -96,6 +98,17 @@ class DataLoader:
         self.sparse_khop = sparse_khop
         self.build_block_tiles = build_block_tiles
         self.build_local_banks = build_local_banks
+        # multi-host input sharding: the batch PLAN is host-invariant
+        # (same seed/epoch); batchify builds row arrays only for the
+        # contiguous row slice this host's devices own (batchify
+        # host_shard docstring). batch_multiple must be a multiple of
+        # host_count so every bucketed batch divides evenly.
+        self.host_rank = host_rank
+        self.host_count = host_count
+        if host_count > 1:
+            assert batch_multiple % host_count == 0, (
+                f"batch_multiple {batch_multiple} must be a multiple of "
+                f"host_count {host_count}")
 
     def _cost(self, inst: Instance) -> int:
         return max(len(inst.target) + 1, len(inst.concepts) + 1)
@@ -159,6 +172,8 @@ class DataLoader:
                 sparse_khop=self.sparse_khop,
                 build_block_tiles=self.build_block_tiles,
                 build_local_banks=self.build_local_banks,
+                host_shard=((self.host_rank, self.host_count)
+                            if self.host_count > 1 else None),
             ), group
         except BatchCapacityError:
             if len(group) == 1:

@@ -269,7 +269,11 @@ def main(argv=None):
 
     sparse = (args.attention_impl == "sparse"
               or args.attention_impl.startswith("block_sparse"))
-    dl_kw = dict(batch_multiple=args.dp or 1, spec=spec, build_edges=sparse,
+    import jax as _jax
+    n_hosts = _jax.process_count()
+    dl_kw = dict(batch_multiple=max(args.dp or 1, n_hosts), spec=spec,
+                 host_rank=_jax.process_index(), host_count=n_hosts,
+                 build_edges=sparse,
                  cp_shards=args.graph, sparse_khop=args.sparse_khop,
                  build_block_tiles=args.attention_impl.startswith(
                      "block_sparse"),
