@@ -3,25 +3,30 @@
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
-Metric: edges/s through one fused relation-attention encoder pass at
-AMR-2.0-scale shapes (B=32 graphs, N=128 nodes incl. global, P=2048 unique
-relation paths, 8 heads, d=512, bf16). An "edge" is one ordered node pair
-scored and aggregated (B * N^2 per pass) — the SpMM+SDDMM unit of
-BASELINE.json's north-star metric.
+Round-3 protocol change (honest inputs): round 2 benchmarked synthetic
+uniform-random relation indices into a P=2048 batch-global bank. Measured
+on the real data pipeline, that shape is fictional — a 32-graph batch of
+AMR-scale graphs carries a batch-global bank of ~16k unique shortest-path
+strings, while each GRAPH references only ~400-700 of them. This bench now
+builds its inputs THROUGH batchify (build_local_banks=True) on the
+synthetic AMR corpus at the dominant production bucket (B=32 graphs,
+N=32-node bucket) and measures:
 
-vs_baseline compares against the reference's computation strategy (dense
-materialization of per-pair relation projections, as jcyk/gtos's
-RelationMultiheadAttention does — SURVEY.md §3.4) executed by XLA on the
-same chip: value / baseline (higher is better).
+  * value / vs_baseline: the localized Pallas kernel (per-graph banks,
+    ops/pallas/local_relation_attention) against the reference
+    computation strategy (dense per-pair table gather over the
+    batch-global bank, as jcyk/gtos's RelationMultiheadAttention does —
+    SURVEY.md §3.4) executed by XLA on the same chip, same honest inputs;
+  * roofline fractions for BOTH forward and backward kernels (VERDICT r2
+    weak #2: the backward previously had no accounting at all).
 
 Measurement protocol (the tunneled-TPU backend makes naive timing lie):
   * every operand is a jit ARGUMENT — closure-captured constants are
-    re-shipped to the device per dispatch (~38 ms for these 50 MB);
-  * completion is forced by a device->host READBACK of the result —
-    block_until_ready can return before remote execution finishes;
+    re-shipped to the device per dispatch;
+  * completion is forced by a device->host READBACK of the result;
   * the per-pass cost is the MARGINAL slope (T(hi_iters) - T(lo_iters)) /
     (hi - lo) of an on-device fori_loop, which cancels the fixed RPC +
-    readback overhead (~60 ms) out of the estimate.
+    readback overhead out of the estimate.
 """
 
 import functools
@@ -38,16 +43,55 @@ import numpy as np  # noqa: E402
 from gtos_tpu.ops.attention import (  # noqa: E402
     dense_relation_scores_reference, masked_softmax,
 )
-from gtos_tpu.ops.pallas import (  # noqa: E402
-    pallas_relation_attention, relation_attention_trainable,
+from gtos_tpu.ops.pallas.local_relation_attention import (  # noqa: E402
+    local_relation_attention, local_relation_attention_trainable,
 )
-from gtos_tpu.utils.benchlib import attention_inputs  # noqa: E402
 
-B, H, N, Dh, P = 32, 8, 128, 64, 2048
+B, H, Dh = 32, 8, 64          # d_model=512, 8 heads — config-2 scale
+MIN_NODES, MAX_NODES = 10, 31  # dominant AMR bucket: N=32 incl. global
 
 # v5e per-chip peaks (BASELINE.md roofline constants)
 PEAK_BF16_FLOPS = 394e12
 PEAK_HBM_BPS = 819e9
+
+
+def honest_batch():
+    """Real batchify output on the synthetic corpus at the dominant
+    bucket; returns the localized arrays + the batch-global rel_index."""
+    from gtos_tpu.data import BucketSpec, batchify
+    from gtos_tpu.data.dataloader import preprocess
+    from gtos_tpu.data.extract import build_vocabs
+    from gtos_tpu.data.synthetic import synthetic_amr_corpus
+
+    graphs, targets = synthetic_amr_corpus(
+        B, seed=0, min_nodes=MIN_NODES, max_nodes=MAX_NODES)
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    spec = BucketSpec(bank=(4096, 8192, 16384, 32768, 65536))
+    batch = batchify(instances, tv, cv, rv, chv, lm, batch_size_bucket=B,
+                     spec=spec, build_local_banks=True)
+    return batch
+
+
+def build_inputs(batch, dtype=jnp.bfloat16):
+    N = batch.rel_index.shape[1]
+    P = batch.rel_bank.shape[0]
+    P_loc = batch.bank_map.shape[1]
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    q = jax.random.normal(ks[0], (B, H, N, Dh), dtype)
+    k = jax.random.normal(ks[1], (B, H, N, Dh), dtype)
+    v = jax.random.normal(ks[2], (B, H, N, Dh), dtype)
+    a_bank = jax.random.normal(ks[3], (P, H, Dh), dtype) * 0.5
+    b_bank = jax.random.normal(ks[4], (P, H, Dh), dtype) * 0.5
+    j = jnp.asarray
+    return dict(
+        q=q, k=k, v=v, a_bank=a_bank, b_bank=b_bank,
+        rel_index=j(batch.rel_index), mask=j(batch.concept_mask),
+        bank_map=j(batch.bank_map), idx_loc=j(batch.rel_index_loc),
+        srt=j(batch.rel_sort), bnd=j(batch.rel_bnd),
+        srtT=j(batch.rel_sortT), bndT=j(batch.rel_bndT),
+        N=N, P=P, P_loc=P_loc,
+    )
 
 
 def _dense_xla(q, k, v, a_bank, b_bank, idx, mask):
@@ -56,73 +100,51 @@ def _dense_xla(q, k, v, a_bank, b_bank, idx, mask):
     return jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "mode"))
-def _loop(q, k, v, a_bank, b_bank, idx, mask, iters, mode):
-    def fwd(q):
-        if mode.startswith("pallas"):
-            if mode == "pallas_grad":
-                out = relation_attention_trainable(
-                    q, k, v, a_bank, b_bank, idx, mask)
-            else:
-                out, _ = pallas_relation_attention(
-                    q, k, v, a_bank, b_bank, idx, mask)
-        else:
-            out = _dense_xla(q, k, v, a_bank, b_bank, idx, mask)
-        return out
+def make_loop(inp):
+    idx_loc, mask = inp["idx_loc"], inp["mask"]
+    srt, bnd, srtT, bndT = inp["srt"], inp["bnd"], inp["srtT"], inp["bndT"]
+    rel_index, bank_map = inp["rel_index"], inp["bank_map"]
 
-    def fwd_all(q, k, v, a_bank, b_bank):
-        if mode == "pallas_grad":
-            return relation_attention_trainable(
-                q, k, v, a_bank, b_bank, idx, mask)
-        return _dense_xla(q, k, v, a_bank, b_bank, idx, mask)
+    @functools.partial(jax.jit, static_argnames=("iters", "mode"))
+    def loop(q, k, v, a_bank, b_bank, iters, mode):
+        # the per-step localization gather (in the model this happens once
+        # per layer from the projected banks); part of the measured path
+        def fwd(q, k, v, a_bank, b_bank):
+            if mode.startswith("local"):
+                a_loc = a_bank[bank_map]
+                b_loc = b_bank[bank_map]
+                if mode.endswith("grad"):
+                    return local_relation_attention_trainable(
+                        q, k, v, a_loc, b_loc, idx_loc, mask,
+                        srt, bnd, srtT, bndT)
+                return local_relation_attention(
+                    q, k, v, a_loc, b_loc, idx_loc, mask)
+            return _dense_xla(q, k, v, a_bank, b_bank, rel_index, mask)
 
-    def body(i, q):
-        if mode.endswith("_grad"):
-            # fwd + bwd: the training-step shape of the op (VERDICT r1
-            # weak #6). Differentiate wrt ALL tensor inputs — grads wrt
-            # the relation banks are where the gather transposes
-            # (scatter-adds) live; wrt q alone XLA DCEs them away and the
-            # comparison flatters the baseline.
-            g = jax.grad(
-                lambda *a: fwd_all(*a).astype(jnp.float32).sum(),
-                argnums=(0, 1, 2, 3, 4))(q, k, v, a_bank, b_bank)
-            upd = sum((1e-6 * x.sum()).astype(q.dtype) for x in g)
-            return q + upd
-        return q + (1e-6 * fwd(q).sum()).astype(q.dtype)
+        def body(i, q):
+            if mode.endswith("grad"):
+                g = jax.grad(
+                    lambda *a: fwd(*a).astype(jnp.float32).sum(),
+                    argnums=(0, 1, 2, 3, 4))(q, k, v, a_bank, b_bank)
+                return q + sum((1e-6 * x.sum()).astype(q.dtype) for x in g)
+            return q + (1e-6 * fwd(q, k, v, a_bank, b_bank).sum()).astype(
+                q.dtype)
 
-    return jax.lax.fori_loop(0, iters, body, q)
+        return jax.lax.fori_loop(0, iters, body, q)
+
+    return loop
 
 
-def _fwd_flops():
-    """MXU FLOPs of one forward pass (t1 + t2/t3 tables + attn@v)."""
-    t1 = 2 * B * H * N * N * Dh
-    tables = 2 * (2 * B * H * N * P * Dh)
-    av = 2 * B * H * N * N * Dh
-    return t1 + tables + av
-
-
-def _fwd_hbm_bytes(itemsize=2):
-    """HBM bytes one inline-kernel forward must move (q/k/v in, out, index
-    blocks incl. the transposed copy, banks once)."""
-    dh_pad = 128
-    qkv = 3 * B * H * N * dh_pad * itemsize
-    out = B * H * N * dh_pad * itemsize
-    idx = 2 * B * N * N * 4
-    banks = 2 * P * H * dh_pad * itemsize
-    return qkv + out + idx + banks
-
-
-def marginal_s_per_iter(args, mode, lo, hi, calls=3):
-    """Marginal seconds per loop iteration via two-point slope."""
-    q = args[0]
+def marginal_s_per_iter(loop, inp, mode, lo, hi, calls=3):
+    q = inp["q"]
+    args = (inp["q"], inp["k"], inp["v"], inp["a_bank"], inp["b_bank"])
 
     def run(iters):
-        # compile + complete once
-        np.asarray(_loop(*args, iters=iters, mode=mode))
+        np.asarray(loop(*args, iters=iters, mode=mode))
         t0 = time.perf_counter()
         r = q
         for _ in range(calls):
-            r = _loop(r, *args[1:], iters=iters, mode=mode)
+            r = loop(r, *args[1:], iters=iters, mode=mode)
         np.asarray(r)  # readback forces completion
         return (time.perf_counter() - t0) / calls
 
@@ -130,30 +152,52 @@ def marginal_s_per_iter(args, mode, lo, hi, calls=3):
     return max(t_hi - t_lo, 1e-9) / (hi - lo)
 
 
-def main():
-    args = attention_inputs(
-        jax.random.PRNGKey(0), B, H, N, Dh, P, jnp.bfloat16)
+def rooflines(N, P_loc, itemsize=2):
+    """FLOP and HBM-byte accounting for the localized kernels (in-kernel
+    work; the bank_map localization gather is measured separately)."""
+    Nc = Dpad = 128
+    # forward
+    f_tables = 2 * 2 * B * H * N * P_loc * Dh
+    f_attn = 2 * 2 * B * H * N * N * Dpad          # t1 + attn@v (padded)
+    fwd_flops = f_tables + f_attn
+    by_banks = 2 * B * P_loc * H * Dh * itemsize
+    by_t4 = B * H * P_loc * 4
+    by_qkv = 3 * B * H * N * Dpad * itemsize
+    by_idx = 2 * B * N * Nc * 4
+    by_out = B * H * N * Dpad * itemsize
+    fwd_bytes = by_banks + by_t4 + by_qkv + by_idx + by_out
+    # backward (recompute + softmax VJP + sorted-scatter + contractions)
+    b_tables = f_tables
+    b_attn = 2 * B * H * N * N * Dpad * 4          # t1, g_attn, gv, ge.k/q
+    b_scan = 2 * 2 * B * H * N * Nc * Nc           # two prefix matmuls
+    b_rel = 2 * 2 * 2 * B * H * N * P_loc * Dh     # gq/gk rel + gab/gbb
+    bwd_flops = b_tables + b_attn + b_scan + b_rel
+    bwd_bytes = (fwd_bytes + by_out                    # inputs + g_out
+                 + 2 * B * N * Nc * 4 + 2 * B * N * P_loc * 4  # sort/bnd
+                 + 3 * B * H * N * Dpad * 4               # gq/gk/gv f32
+                 + 2 * B * P_loc * H * Dh * itemsize)     # bank grads
+    return fwd_flops, fwd_bytes, bwd_flops, bwd_bytes
 
-    t_pallas = marginal_s_per_iter(args, "pallas", lo=40, hi=240)
-    t_dense = marginal_s_per_iter(args, "dense", lo=10, hi=60)
-    # training-step shape: forward + backward through the custom-vjp kernel
-    # vs the XLA dense reference differentiated by autodiff
-    t_pallas_fb = marginal_s_per_iter(args, "pallas_grad", lo=20, hi=120)
-    t_dense_fb = marginal_s_per_iter(args, "dense_grad", lo=5, hi=30)
+
+def main():
+    batch = honest_batch()
+    inp = build_inputs(batch)
+    N, P, P_loc = inp["N"], inp["P"], inp["P_loc"]
+    loop = make_loop(inp)
+
+    t_local = marginal_s_per_iter(loop, inp, "local", lo=30, hi=180)
+    t_local_fb = marginal_s_per_iter(loop, inp, "local_grad", lo=10, hi=60)
+    t_dense = marginal_s_per_iter(loop, inp, "dense", lo=2, hi=8)
+    t_dense_fb = marginal_s_per_iter(loop, inp, "dense_grad", lo=1, hi=4)
 
     edges = B * N * N
-    value = edges / t_pallas
+    value = edges / t_local
     baseline = edges / t_dense
 
-    # roofline accounting for the forward kernel (v5e): the kernel is bound
-    # by the in-register gather lane-shuffles (VPU), not MXU or HBM — the
-    # MXU/HBM fractions below quantify the headroom ceiling of ANY
-    # implementation of this op at these shapes.
-    flops = _fwd_flops()
-    hbm = _fwd_hbm_bytes()
-    mfu = flops / t_pallas / PEAK_BF16_FLOPS
-    hbm_frac = hbm / t_pallas / PEAK_HBM_BPS
-    sol_s = max(flops / PEAK_BF16_FLOPS, hbm / PEAK_HBM_BPS)
+    ff, fb, bf, bb = rooflines(N, P_loc)
+    t_bwd = max(t_local_fb - t_local, 1e-9)
+    fwd_sol = max(ff / PEAK_BF16_FLOPS, fb / PEAK_HBM_BPS)
+    bwd_sol = max(bf / PEAK_BF16_FLOPS, bb / PEAK_HBM_BPS)
 
     print(json.dumps({
         "metric": "relation_attention_edges_per_s",
@@ -161,21 +205,37 @@ def main():
         "unit": "edges/s",
         "vs_baseline": round(value / baseline, 3),
         "detail": {
-            "shapes": {"B": B, "H": H, "N": N, "Dh": Dh, "P": P,
-                       "dtype": "bfloat16"},
-            "pallas_ms": round(t_pallas * 1e3, 3),
-            "dense_reference_ms": round(t_dense * 1e3, 3),
-            "fwd_bwd_pallas_ms": round(t_pallas_fb * 1e3, 3),
-            "fwd_bwd_dense_ms": round(t_dense_fb * 1e3, 3),
-            "fwd_bwd_speedup": round(t_dense_fb / t_pallas_fb, 2),
-            "train_edges_per_s": round(edges / t_pallas_fb, 1),
-            "mfu": round(mfu, 4),
-            "hbm_roofline_frac": round(hbm_frac, 4),
-            "speed_of_light_ms": round(sol_s * 1e3, 4),
+            "protocol_note": (
+                "r3 protocol change: inputs now come from real batchify "
+                "on the dominant AMR bucket (localized per-graph banks); "
+                "r2's P=2048 uniform-random bank understated real bank "
+                "pressure ~8x, so absolute edges/s are not comparable "
+                "across rounds — vs_baseline (same-chip, same-inputs "
+                "reference strategy) is"),
+            "shapes": {"B": B, "H": H, "N": N, "Dh": Dh,
+                       "P_global": P, "P_loc": P_loc, "dtype": "bfloat16"},
+            "pallas_fwd_ms": round(t_local * 1e3, 3),
+            "pallas_fwd_bwd_ms": round(t_local_fb * 1e3, 3),
+            "dense_reference_fwd_ms": round(t_dense * 1e3, 3),
+            "dense_reference_fwd_bwd_ms": round(t_dense_fb * 1e3, 3),
+            "fwd_bwd_speedup": round(t_dense_fb / t_local_fb, 2),
+            "train_edges_per_s": round(edges / t_local_fb, 1),
+            "fwd": {
+                "mfu": round(ff / t_local / PEAK_BF16_FLOPS, 4),
+                "hbm_frac": round(fb / t_local / PEAK_HBM_BPS, 4),
+                "speed_of_light_ms": round(fwd_sol * 1e3, 4),
+                "sol_frac": round(fwd_sol / t_local, 4),
+            },
+            "bwd": {
+                "mfu": round(bf / t_bwd / PEAK_BF16_FLOPS, 4),
+                "hbm_frac": round(bb / t_bwd / PEAK_HBM_BPS, 4),
+                "speed_of_light_ms": round(bwd_sol * 1e3, 4),
+                "sol_frac": round(bwd_sol / t_bwd, 4),
+            },
             "roofline_note": (
-                "op is VPU-bound on the P/128 chunked gather shuffles, not "
-                "MXU/HBM; mfu + hbm_roofline_frac give the compute/memory "
-                "ceilings"),
+                "residual above speed-of-light is the P_loc/128-chunk "
+                "gather/scatter lane shuffles (VPU), bounded by "
+                "localization; sol_frac = speed_of_light / measured"),
             "protocol": "marginal fori_loop slope, readback-fenced",
             "device": str(jax.devices()[0]),
         },
