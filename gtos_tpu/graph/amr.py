@@ -39,6 +39,9 @@ _TOKEN_RE = re.compile(
 )
 
 
+_ALIGN_RE = re.compile(r"~[^\s()]*")
+
+
 def _tokenize(text: str) -> List[Tuple[str, str]]:
     tokens = []
     pos = 0
@@ -51,8 +54,19 @@ def _tokenize(text: str) -> List[Tuple[str, str]]:
         if m is None:
             raise AMRParseError(f"cannot tokenize at offset {pos}: {text[pos:pos+30]!r}")
         kind = m.lastgroup
-        tokens.append((kind, m.group()))
+        tok = m.group()
         pos = m.end()
+        # ISI-style alignment markers (`want-01~e.4`, `"Smith"~e.1`,
+        # `:ARG0~e.0`) ride as a `~...` suffix on any token; strip them —
+        # inside symbols/roles (the greedy pattern swallows them) and
+        # after closing quotes (where they'd otherwise become a stray
+        # symbol token)
+        if kind in ("role", "symbol") and "~" in tok:
+            tok = tok.split("~", 1)[0]
+        if kind == "string" and pos < n and text[pos] == "~":
+            am = _ALIGN_RE.match(text, pos)
+            pos = am.end()
+        tokens.append((kind, tok))
     return tokens
 
 
