@@ -130,9 +130,9 @@ def _bwd_dst_kernel(tile_src_ref, q_ref, k_ref, v_ref, g_ref, m_ref, l_ref,
             t1 = _dot(qh, kh, (((1,), (1,))), dt)
             e = (t1 + e2 + e3t.T) * scale + mask_add
 
-            m_col = m_ref[0, h][:, 0:1]                  # [T, 1]
-            l_col = l_ref[0, h][:, 0:1]
-            d_col = dl_ref[0, h][:, 0:1]
+            m_col = m_ref[0, h, 0].reshape(T, 1)         # lanes -> rows
+            l_col = l_ref[0, h, 0].reshape(T, 1)
+            d_col = dl_ref[0, h, 0].reshape(T, 1)
             l_safe = jnp.where(l_col > 0, l_col, 1.0)
             p = jnp.where(pair_ok, jnp.exp(e - m_col), 0.0) / l_safe
             dp = _dot(gh, vh, (((1,), (1,))), dt)        # [T, T] dO_i . v_j
@@ -196,9 +196,9 @@ def _bwd_src_kernel(tile_dst_ref, k_ref, v_ref, q_ref, g_ref, m_ref, l_ref,
             t1T = _dot(kh, qd, (((1,), (1,))), dt)       # [T_j, T_i]
             eT = (t1T + e2.T + e3t) * scale + mask_addT
 
-            m_row = m_ref[0, h][:, 0:1].reshape(1, T)    # per dst node i
-            l_row = l_ref[0, h][:, 0:1].reshape(1, T)
-            d_row = dl_ref[0, h][:, 0:1].reshape(1, T)
+            m_row = m_ref[0, h, 0].reshape(1, T)         # per dst node i
+            l_row = l_ref[0, h, 0].reshape(1, T)
+            d_row = dl_ref[0, h, 0].reshape(1, T)
             l_safe = jnp.where(l_row > 0, l_row, 1.0)
             pT = jnp.where(pair_okT, jnp.exp(eT - m_row), 0.0) / l_safe
             dpT = _dot(vh, gd, (((1,), (1,))), dt)       # [T_j, T_i]
@@ -242,7 +242,8 @@ def block_sparse_attention_bwd(q, k, v, a_bank, b_bank, tile_src, tile_rel,
     """-> (dq, dk, dv [B,H,N,Dh] in input dtypes, g_ab, g_bb [P,H,Dh] f32).
 
     out: the forward's output [B,H,N,Dh]; m, l: the forward's softmax stats
-    ([B,H,N_pad,128] from with_stats=True); g: cotangent [B,H,N,Dh] f32."""
+    ([B,H,Td,128] compact node-per-lane layout from with_stats=True);
+    g: cotangent [B,H,N,Dh] f32."""
     B, H, N, Dh = q.shape
     P = a_bank.shape[0]
     if scale is None:
@@ -261,12 +262,13 @@ def block_sparse_attention_bwd(q, k, v, a_bank, b_bank, tile_src, tile_rel,
                  [(0, 0), (0, 0), (0, N_pad - N), (0, Dh_pad - Dh)])
     delta = jnp.sum(g.astype(f32) * out.astype(f32), axis=-1)   # [B,H,N]
     delta = jnp.pad(delta, [(0, 0), (0, 0), (0, N_pad - N)])
-    delta = jnp.broadcast_to(delta[..., None], (B, H, N_pad, 128))
+    # compact stat layout: [B, H, Td, 128] (free reshape, row-major)
+    delta = delta.reshape(B, H, Td, T)
 
     node_spec = lambda imap: pl.BlockSpec(  # noqa: E731
         (1, H, T, Dh_pad), imap, memory_space=pltpu.VMEM)
     stat_spec = lambda imap: pl.BlockSpec(  # noqa: E731
-        (1, H, T, 128), imap, memory_space=pltpu.VMEM)
+        (1, H, 1, 128), imap, memory_space=pltpu.VMEM)
     bank_spec = pl.BlockSpec((H, P_pad, Dh_pad), lambda b, t, s, pr: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     rel_spec = pl.BlockSpec((1, 1, 1, T, T), lambda b, t, s, pr: (b, t, s, 0, 0),

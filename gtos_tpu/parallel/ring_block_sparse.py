@@ -77,8 +77,10 @@ def _ring_body(q, k, v, a_bank, b_bank, ctile_src, ctile_rel, *,
         out_t, m_t, l_t = block_sparse_relation_attention(
             q, k_buf, v_buf, a_bank, b_bank, cell_src, cell_rel,
             interpret=interpret, scale=scale, with_stats=True)
-        m_t = m_t[:, :, :Nl, :1]                    # stats are lane-bcast
-        l_t = l_t[:, :, :Nl, :1]
+        # stats arrive in the compact [B, H, Tdl, 128] node-per-lane
+        # layout; row-major reshape recovers one value per dst node
+        m_t = m_t.reshape(B, H, -1, 1)[:, :, :Nl]
+        l_t = l_t.reshape(B, H, -1, 1)[:, :, :Nl]
 
         # exact flash merge of this step's partial softmax
         new_m = jnp.maximum(m, m_t)

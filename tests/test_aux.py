@@ -50,12 +50,17 @@ def test_scaling_harness_small():
     from gtos_tpu.parallel.scaling import scaling_report
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")
-    rep = scaling_report(num_nodes=256, edges_per_node=16, dim=16, bank=32)
+    rep = scaling_report(num_nodes=256, dim=16)
     assert rep["n_devices"] >= 2
-    assert rep["edges_per_s_1dev"] > 0 and rep["edges_per_s_mesh"] > 0
+    assert rep["edges_per_s_1dev"] > 0
+    assert rep["ring"]["edges_per_s_mesh"] > 0
+    assert rep["a2a"]["edges_per_s_mesh"] > 0
+    assert rep["faster_schedule"] in ("ring", "a2a")
     assert rep["per_device_nodes"] == 256 // rep["n_devices"]
     # CPU-mesh efficiency is not meaningful; just check the math holds
-    assert abs(rep["efficiency"] - rep["speedup"] / rep["n_devices"]) < 1e-9
+    for sched in ("ring", "a2a"):
+        assert abs(rep[sched]["efficiency"]
+                   - rep[sched]["speedup"] / rep["n_devices"]) < 1e-9
 
 
 def test_bfloat16_config_trains():
