@@ -33,15 +33,16 @@ def build():
     from gtos_tpu.train.trainer import init_state
     from gtos_tpu.utils.config import ModelConfig, TrainConfig
 
+    from gtos_tpu.data import batchify
+
     graphs, targets = synthetic_amr_corpus(32, seed=0, min_nodes=10,
                                            max_nodes=31)
     tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
     instances = preprocess(graphs, targets)
     spec = BucketSpec(bank=(4096, 8192, 16384, 32768))
-    dl = DataLoader(instances, tv, cv, rv, chv, lm,
-                    batch_size_tokens=10 ** 6, for_train=True, seed=0,
-                    spec=spec, build_local_banks=True)
-    batch = next(iter(dl))
+    batch = batchify(instances, tv, cv, rv, chv, lm, batch_size_bucket=32,
+                     spec=spec, build_local_banks=True)
+    dl = None
     cfg = ModelConfig(
         token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
         char_vocab=len(chv), d_model=512, d_ff=1024, heads=8, enc_layers=4,
@@ -121,22 +122,20 @@ def main():
     t_fwd = marginal(fwd_loss, c0, 6, 30)
     t_grad = marginal(grad_step, c0, 3, 15)
 
-    # full optimizer step (dispatch-timed; the state donation prevents a
-    # fori_loop carry, so time sequential dispatches with a final fence)
-    from gtos_tpu.train.trainer import make_train_step
-    step = make_train_step(model, tx)
-    s = state
-    for _ in range(3):
-        s, m = step(s, arrays)
-    jax.block_until_ready(m["loss"])
-    reps = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(10):
-            s, m = step(s, arrays)
-        np.asarray(m["loss"])
-        reps.append((time.perf_counter() - t0) / 10)
-    t_step = min(reps)
+    # full optimizer step, fori-carried (per-dispatch tunnel latency is
+    # several ms and would swamp a dispatch-timed loop)
+    def full_step(carry):
+        p, o = carry
+
+        def lf(pp):
+            return model.apply(pp, arrays, deterministic=True)[0]
+
+        loss, g = jax.value_and_grad(lf)(p)
+        updates, o2 = tx.update(g, o, p)
+        p2 = optax.apply_updates(p, updates)
+        return (p2, o2)
+
+    t_step = marginal(full_step, (params, state.opt_state), 3, 15)
 
     # ---- host input pipeline (batchify incl. local banks + sort/bnd) ----
     from gtos_tpu.data import batchify

@@ -46,7 +46,9 @@ def build(attention_impl: str):
     # production training
     dl = DataLoader(instances, tv, cv, rv, chv, lm,
                     batch_size_tokens=4096, for_train=True, seed=0,
-                    build_edges=(attention_impl == "sparse"))
+                    build_edges=(attention_impl == "sparse"),
+                    build_local_banks=attention_impl.startswith(
+                        "pallas_local"))
     batch = max(iter(dl), key=lambda b: b.batch_size)
     cfg = ModelConfig(
         token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
@@ -76,7 +78,7 @@ def time_steps(step, state, arrays, warmup=3, iters=20):
 
 def main():
     results = {}
-    for impl in ("xla", "pallas"):
+    for impl in ("xla", "pallas", "pallas_local"):
         step, state, arrays, batch = build(impl)
         dt, loss = time_steps(step, state, arrays)
         n_tok = int(arrays["token_mask"].sum())
@@ -93,6 +95,9 @@ def main():
         "impls": results,
         "kernel_speedup": round(results["xla"]["ms_per_step"]
                                 / results["pallas"]["ms_per_step"], 2),
+        "local_kernel_speedup": round(
+            results["xla"]["ms_per_step"]
+            / results["pallas_local"]["ms_per_step"], 2),
         "device": str(jax.devices()[0]),
     }
     path = os.path.join(os.path.dirname(__file__), "train_step.json")

@@ -192,9 +192,12 @@ def read_amr_file(path: str) -> List[Graph]:
             if not line.strip():
                 flush()
             elif line.startswith("#"):
-                m = re.match(r"#\s*::(\w+)\s*(.*)", line)
-                if m:
-                    meta[m.group(1)] = m.group(2)
+                # real sembank metadata packs several fields per line
+                # ("# ::id x ::date y ::annotator z"); split on every
+                # `::tag` so a trailing ::snt is not swallowed by ::id
+                for m in re.finditer(
+                        r"::(\w[\w-]*)\s*((?:(?!::\w).)*)", line):
+                    meta[m.group(1)] = m.group(2).strip()
             else:
                 block_lines.append(line)
     flush()
