@@ -185,8 +185,12 @@ def main():
         "host_pipeline_verdict": (
             "host batchify per batch vs device step: "
             f"{t_host * 1e3:.1f} ms vs {t_step * 1e3:.1f} ms — "
-            + ("hidden by --prefetch 2" if t_host < 2 * t_step else
-               "input-bound; needs more prefetch depth or sharded hosts")),
+            + ("hidden by the prefetch thread" if t_host < t_step else
+               "INPUT-BOUND on this 2-vCPU dev host (a single prefetch "
+               "thread caps steps at the batchify rate); production "
+               "TPU-VM hosts have ~100 cores and multi-host runs shard "
+               "the per-row work (batchify host_shard), so the device "
+               "step remains the target")),
         "protocol": "marginal fori_loop slope (min of 3), readback-fenced",
         "device": str(jax.devices()[0]),
     }
