@@ -3,7 +3,6 @@ the Pallas tile kernel as the per-ring-step compute, on the virtual CPU
 mesh, vs the single-device block-sparse kernel and the XLA sparse path
 (VERDICT r2 next #2)."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
