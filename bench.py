@@ -196,16 +196,18 @@ def rooflines(N, P_loc, itemsize=2):
     by_idx = 2 * B * N * Nc * 4
     by_out = B * H * N * Dpad * itemsize
     fwd_bytes = by_banks + by_t4 + by_qkv + by_idx + by_out
-    # backward (recompute + softmax VJP + sorted-scatter + contractions)
-    b_tables = f_tables
-    b_attn = 2 * B * H * N * N * Dpad * 4          # t1, g_attn, gv, ge.k/q
-    b_scan = 2 * 2 * B * H * N * Nc * Nc           # two prefix matmuls
-    b_rel = 2 * 2 * 2 * B * H * N * P_loc * Dh     # gq/gk rel + gab/gbb
-    bwd_flops = b_tables + b_attn + b_scan + b_rel
-    bwd_bytes = (fwd_bytes + by_out                    # inputs + g_out
+    # backward: NO recompute (the forward's attention probs are a
+    # residual); softmax VJP + sorted-scatter + contractions
+    by_probs = B * H * N * Nc * 4
+    b_attn = 2 * B * H * N * N * Dpad * 4      # g_attn, gv, ge.k, ge.q
+    b_scan = 2 * 2 * B * H * N * Nc * Nc       # two prefix matmuls
+    b_rel = 2 * 2 * 2 * B * H * N * P_loc * Dh  # gq/gk rel + gab/gbb
+    bwd_flops = b_attn + b_scan + b_rel
+    bwd_bytes = (by_banks + by_qkv + by_out + by_probs     # inputs + g_out
                  + 2 * B * N * Nc * 4 + 2 * B * N * P_loc * 4  # sort/bnd
-                 + 3 * B * H * N * Dpad * 4               # gq/gk/gv f32
-                 + 2 * B * P_loc * H * Dh * itemsize)     # bank grads
+                 + 3 * B * H * N * Dpad * 4                # gq/gk/gv f32
+                 + 2 * B * P_loc * H * Dh * itemsize)      # bank grads
+    # (the benched forward is the inference-mode kernel: no probs output)
     return fwd_flops, fwd_bytes, bwd_flops, bwd_bytes
 
 

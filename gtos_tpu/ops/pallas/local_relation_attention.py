@@ -87,13 +87,16 @@ def _head_tables(q_ref, k_ref, ab_ref, bb_ref, t4_ref, h, Dh):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, ab_ref, bb_ref, t4_ref, idx_ref,
-                idxT_ref, mask_ref, out_ref, *, scale, Dh):
+                idxT_ref, mask_ref, out_ref, probs_ref=None, *, scale, Dh):
     """One program per graph b. q/k/v: [H, N, Dpad] VMEM (lane-padded);
     ab/bb: [P_loc, H*Dh] VMEM (this graph's localized banks, projection
-    layout); t4: [H, P_loc] f32; idx/idxT: [N, Nc]; mask: [1, 1, Nc]."""
+    layout); t4: [H, P_loc] f32; idx/idxT: [N, Nc]; mask: [1, 1, Nc].
+    probs_ref ([H, N, Nc] f32, optional): persists the attention probs so
+    the backward can skip the whole table-rebuild + gather recompute."""
     H, N, _ = q_ref.shape
     P_loc = ab_ref.shape[0]
     n_chunks = P_loc // 128
+    Nc = idx_ref.shape[-1]
     f32 = jnp.float32
 
     mask_row = mask_ref[0, 0, :]
@@ -116,7 +119,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, ab_ref, bb_ref, t4_ref, idx_ref,
         m = jnp.max(e, axis=-1, keepdims=True)
         p = jnp.exp(e - m)
         s = jnp.sum(p, axis=-1, keepdims=True)
-        attn = (p / s).astype(v_ref.dtype)
+        attn_f32 = p / s
+        if probs_ref is not None:
+            probs_ref[h] = _pad_lane(attn_f32, Nc)
+        attn = attn_f32.astype(v_ref.dtype)
         out_ref[h] = jax.lax.dot_general(
             attn, v_ref[h], (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
@@ -171,10 +177,12 @@ def _specs(B, H, N, Dh, P_loc, Dh_pad, Nc):
 _VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "scale"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "scale", "with_probs"))
 def local_relation_attention(q, k, v, a_loc, b_loc, rel_index_loc,
                              node_mask, interpret: bool = False,
-                             scale: float = None):
+                             scale: float = None,
+                             with_probs: bool = False):
     """Forward-only localized fused attention.
 
     q, k, v: [B, H, N, Dh]; a_loc/b_loc: [B, P_loc, H, Dh] (per-graph
@@ -191,6 +199,31 @@ def local_relation_attention(q, k, v, a_loc, b_loc, rel_index_loc,
     (qp, kp, vp, ab, bb, t4, idx_p, idxT_p, mask_p, Dh_pad,
      Nc) = _prep(q, k, v, a_loc, b_loc, rel_index_loc, node_mask)
     qkv, bank, t4s, idxs, msk = _specs(B, H, N, Dh, P_loc, Dh_pad, Nc)
+
+    if with_probs:
+        prob_spec = pl.BlockSpec((1, H, N, Nc), lambda b: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+        def kernel_p(q_r, k_r, v_r, ab_r, bb_r, t4_r, idx_r, idxT_r,
+                     mask_r, out_r, probs_r):
+            _fwd_kernel(q_r.at[0], k_r.at[0], v_r.at[0], ab_r.at[0],
+                        bb_r.at[0], t4_r.at[0], idx_r.at[0], idxT_r.at[0],
+                        mask_r, out_r.at[0], probs_r.at[0], scale=scale,
+                        Dh=Dh)
+
+        out, probs = pl.pallas_call(
+            kernel_p,
+            grid=(B,),
+            in_specs=[qkv, qkv, qkv, bank, bank, t4s, idxs, idxs, msk],
+            out_specs=(qkv, prob_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, H, N, Dh_pad), v.dtype),
+                jax.ShapeDtypeStruct((B, H, N, Nc), jnp.float32),
+            ),
+            compiler_params=_VMEM,
+            interpret=interpret,
+        )(qp, kp, vp, ab, bb, t4, idx_p, idxT_p, mask_p)
+        return out[..., :Dh], probs
 
     def kernel(q_r, k_r, v_r, ab_r, bb_r, t4_r, idx_r, idxT_r, mask_r,
                out_r):
@@ -249,27 +282,20 @@ def _sorted_scatter(ge_pad, sort_idx, bnd, start, n_chunks, tri, N):
     return jnp.concatenate(outs, axis=1)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, ab_ref, bb_ref, t4_ref,
-                idx_ref, idxT_ref, mask_ref, sort_ref, sortT_ref, bnd_ref,
-                bndT_ref, gq_ref, gk_ref, gv_ref, gab_ref, gbb_ref,
-                *, scale, Dh):
-    """One program per graph. Recomputes attention (localized, on-chip),
-    then softmax VJP, content grads, and the two sorted-scatter passes with
-    their bank/q/k contractions — all fused; nothing of width P_loc leaves
-    the chip except the per-graph bank grads themselves."""
+def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, probs_ref, ab_ref, bb_ref,
+                sort_ref, sortT_ref, bnd_ref, bndT_ref, gq_ref, gk_ref,
+                gv_ref, gab_ref, gbb_ref, *, scale, Dh):
+    """One program per graph. The forward's attention probs arrive as a
+    residual ([H, N, Nc] f32 — tiny at N <= 128), so there is NO
+    table-rebuild/gather recompute here: softmax VJP, content grads, the
+    two sorted-scatter passes and their bank/q/k contractions — all
+    fused; nothing of width P_loc leaves the chip except the per-graph
+    bank grads themselves."""
     H, N, Dh_pad = q_ref.shape
     P_loc = ab_ref.shape[0]
     n_chunks = P_loc // 128
-    Nc = idx_ref.shape[-1]
+    Nc = sort_ref.shape[-1]
     f32 = jnp.float32
-
-    mask_row = mask_ref[0, 0, :]
-    mask_add = jnp.where(mask_row != 0, 0.0, NEG_INF).reshape(1, -1)[:, :N]
-
-    idx = idx_ref[:, :]
-    idxT = idxT_ref[:, :]
-    hi, lo = idx >> 7, jnp.bitwise_and(idx, 127)
-    hiT, loT = idxT >> 7, jnp.bitwise_and(idxT, 127)
 
     # head-invariant scatter structure, computed once per graph
     sort_i = sort_ref[:, :]
@@ -283,19 +309,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, ab_ref, bb_ref, t4_ref,
     startT = jnp.where(lane_p > 0, pltpu.roll(bndT, 1, 1), 0)
 
     for h in range(H):
-        t2, t3 = _head_tables(q_ref, k_ref, ab_ref, bb_ref, t4_ref, h, Dh)
-        e24 = _chunked_gather(t2, hi, lo, n_chunks)[:, :N]
-        e3t = _chunked_gather(t3, hiT, loT, n_chunks)[:, :N]
         qh, kh, vh = q_ref[h], k_ref[h], v_ref[h]
         goh = go_ref[h].astype(f32)
-        t1 = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32,
-            precision=jax.lax.Precision.DEFAULT)
-        e = (t1 + e24 + e3t.T) * scale + mask_add
-        m = jnp.max(e, axis=-1, keepdims=True)
-        p = jnp.exp(e - m)
-        s = jnp.sum(p, axis=-1, keepdims=True)
-        attn = p / s                                          # [N, N] f32
+        attn = probs_ref[h][:, :N]                            # [N, N] f32
 
         g_attn = jax.lax.dot_general(
             goh, vh.astype(f32), (((1,), (1,)), ((), ())),
@@ -355,42 +371,48 @@ def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, ab_ref, bb_ref, t4_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "scale"))
-def local_relation_attention_bwd(q, k, v, g_out, a_loc, b_loc,
-                                 rel_index_loc, node_mask, rel_sort,
-                                 rel_bnd, rel_sortT, rel_bndT,
+def local_relation_attention_bwd(q, k, v, g_out, probs, a_loc, b_loc,
+                                 rel_sort, rel_bnd, rel_sortT, rel_bndT,
                                  interpret: bool = False,
                                  scale: float = None):
     """-> (g_q, g_k, g_v [B,H,N,Dh] f32, g_ab, g_bb [B,P_loc,H*Dh]) —
-    COMPLETE localized-bank grads (the t4 unfold is fused in-kernel)."""
+    COMPLETE localized-bank grads (the t4 unfold is fused in-kernel).
+    probs: the forward's attention probabilities ([B,H,N,Nc] f32 from
+    with_probs=True) — no recompute happens here."""
     B, H, N, Dh = q.shape
     P_loc = a_loc.shape[1]
     if scale is None:
         scale = Dh ** -0.5
-    (qp, kp, vp, ab, bb, t4, idx_p, idxT_p, mask_p, Dh_pad,
-     Nc) = _prep(q, k, v, a_loc, b_loc, rel_index_loc, node_mask)
+    f32 = jnp.float32
+    Dh_pad = max(128, -(-Dh // 128) * 128)
+    Nc = -(-N // 128) * 128
+    qp = _pad_lane(q, Dh_pad)
+    kp = _pad_lane(k, Dh_pad)
+    vp = _pad_lane(v, Dh_pad)
+    ab = a_loc.reshape(B, P_loc, H * Dh)
+    bb = b_loc.reshape(B, P_loc, H * Dh)
     gop = _pad_lane(g_out, Dh_pad)
     sort_p = _pad_lane(rel_sort, Nc)
     sortT_p = _pad_lane(rel_sortT, Nc)
-    qkv, bank, t4s, idxs, msk = _specs(B, H, N, Dh, P_loc, Dh_pad, Nc)
+    qkv, bank, _t4s, idxs, _msk = _specs(B, H, N, Dh, P_loc, Dh_pad, Nc)
+    prob_spec = pl.BlockSpec((1, H, N, Nc), lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
     bnd_spec = pl.BlockSpec((1, N, P_loc), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def kernel(q_r, k_r, v_r, go_r, ab_r, bb_r, t4_r, idx_r, idxT_r,
-               mask_r, sort_r, sortT_r, bnd_r, bndT_r,
-               gq_r, gk_r, gv_r, gab_r, gbb_r):
+    def kernel(q_r, k_r, v_r, go_r, probs_r, ab_r, bb_r, sort_r, sortT_r,
+               bnd_r, bndT_r, gq_r, gk_r, gv_r, gab_r, gbb_r):
         _bwd_kernel(q_r.at[0], k_r.at[0], v_r.at[0], go_r.at[0],
-                    ab_r.at[0], bb_r.at[0], t4_r.at[0], idx_r.at[0],
-                    idxT_r.at[0], mask_r, sort_r.at[0], sortT_r.at[0],
-                    bnd_r.at[0], bndT_r.at[0], gq_r.at[0], gk_r.at[0],
-                    gv_r.at[0], gab_r.at[0], gbb_r.at[0],
+                    probs_r.at[0], ab_r.at[0], bb_r.at[0], sort_r.at[0],
+                    sortT_r.at[0], bnd_r.at[0], bndT_r.at[0], gq_r.at[0],
+                    gk_r.at[0], gv_r.at[0], gab_r.at[0], gbb_r.at[0],
                     scale=scale, Dh=Dh)
 
-    f32 = jnp.float32
     gq, gk, gv, gab, gbb = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[qkv, qkv, qkv, qkv, bank, bank, t4s, idxs, idxs, msk,
-                  idxs, idxs, bnd_spec, bnd_spec],
+        in_specs=[qkv, qkv, qkv, qkv, prob_spec, bank, bank, idxs, idxs,
+                  bnd_spec, bnd_spec],
         out_specs=(qkv, qkv, qkv, bank, bank),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, N, Dh_pad), f32),
@@ -401,8 +423,7 @@ def local_relation_attention_bwd(q, k, v, g_out, a_loc, b_loc,
         ),
         compiler_params=_VMEM,
         interpret=interpret,
-    )(qp, kp, vp, gop, ab, bb, t4, idx_p, idxT_p, mask_p, sort_p, sortT_p,
-      rel_bnd, rel_bndT)
+    )(qp, kp, vp, gop, probs, ab, bb, sort_p, sortT_p, rel_bnd, rel_bndT)
     return gq[..., :Dh], gk[..., :Dh], gv[..., :Dh], gab, gbb
 
 
@@ -420,25 +441,32 @@ def _local_attn_vjp(interpret, q, k, v, a_loc, b_loc, rel_index_loc,
 
 def _local_attn_fwd(interpret, q, k, v, a_loc, b_loc, rel_index_loc,
                     node_mask, rel_sort, rel_bnd, rel_sortT, rel_bndT):
-    out = _local_attn_vjp(interpret, q, k, v, a_loc, b_loc, rel_index_loc,
-                          node_mask, rel_sort, rel_bnd, rel_sortT, rel_bndT)
-    return out, (q, k, v, a_loc, b_loc, rel_index_loc, node_mask, rel_sort,
-                 rel_bnd, rel_sortT, rel_bndT)
+    # run the probs-emitting forward so the backward skips the whole
+    # table-rebuild + gather recompute (probs are [B,H,N,Nc] f32 — ~1 MB
+    # per layer at the dominant bucket)
+    out, probs = local_relation_attention(
+        q, k, v, a_loc, b_loc, rel_index_loc, node_mask,
+        interpret=interpret, with_probs=True)
+    return out, (q, k, v, a_loc, b_loc, probs, rel_sort, rel_bnd,
+                 rel_sortT, rel_bndT)
 
 
 def _local_attn_bwd(interpret, res, g):
-    (q, k, v, a_loc, b_loc, rel_index_loc, node_mask, rel_sort, rel_bnd,
-     rel_sortT, rel_bndT) = res
+    (q, k, v, a_loc, b_loc, probs, rel_sort, rel_bnd, rel_sortT,
+     rel_bndT) = res
     B, H, N, Dh = q.shape
     P_loc = a_loc.shape[1]
     gq, gk, gv, gab, gbb = local_relation_attention_bwd(
-        q, k, v, g.astype(q.dtype), a_loc, b_loc, rel_index_loc, node_mask,
+        q, k, v, g.astype(q.dtype), probs, a_loc, b_loc,
         rel_sort, rel_bnd, rel_sortT, rel_bndT, interpret=interpret)
     g_a_loc = gab.reshape(B, P_loc, H, Dh).astype(a_loc.dtype)
     g_b_loc = gbb.reshape(B, P_loc, H, Dh).astype(b_loc.dtype)
     zeros = lambda x: _np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
+    # rel_index_loc / node_mask tangents (positions 6/7 of the primal)
+    zidx = _np.zeros((B, N, N), jax.dtypes.float0)
+    zmask = _np.zeros((B, N), jax.dtypes.float0)
     return (gq.astype(q.dtype), gk.astype(k.dtype), gv.astype(v.dtype),
-            g_a_loc, g_b_loc, zeros(rel_index_loc), zeros(node_mask),
+            g_a_loc, g_b_loc, zidx, zmask,
             zeros(rel_sort), zeros(rel_bnd), zeros(rel_sortT),
             zeros(rel_bndT))
 
