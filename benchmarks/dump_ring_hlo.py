@@ -76,23 +76,37 @@ def main():
     starts = [m.start() for m in re.finditer(
         r"collective-permute-start", hlo)]
     dones = [m.start() for m in re.finditer(r"collective-permute-done", hlo)]
-    # count real compute ops strictly between the first start and its done
-    overlap_ops = {}
+    # pair each start with ITS done via the done's operand (the start
+    # instruction's result name), and count compute ops only on lines
+    # strictly between a matched pair — a flat in-flight counter would
+    # credit compute between unrelated starts/dones as overlap (ADVICE r3)
     lines = hlo.splitlines()
-    in_flight = 0
+    open_starts = {}
+    pairs = []
+    for i, ln in enumerate(lines):
+        m = re.match(r"\s*%?([\w.\-]+)\s*=\s*\S+\s+collective-permute-start\(",
+                     ln)
+        if m:
+            open_starts[m.group(1)] = i
+            continue
+        m = re.search(r"collective-permute-done\(\s*(?:\S+\s+)?%?([\w.\-]+)",
+                      ln)
+        if m and m.group(1) in open_starts:
+            pairs.append((open_starts.pop(m.group(1)), i))
+
+    compute_re = re.compile(
+        r"= [a-z0-9]+\[[^\]]*\][^ ]* (fusion|dot|while|"
+        r"convolution|reduce|scatter|gather|dynamic-slice)\(")
+    overlap_ops = {}
     compute_between = 0
-    for ln in lines:
-        if "collective-permute-start" in ln and "=" in ln:
-            in_flight += 1
-            continue
-        if "collective-permute-done" in ln and "=" in ln:
-            in_flight = max(0, in_flight - 1)
-            continue
-        if in_flight > 0:
-            m = re.search(
-                r"= [a-z0-9]+\[[^\]]*\][^ ]* (fusion|dot|while|"
-                r"convolution|reduce|scatter|gather|dynamic-slice)\(", ln)
+    counted = set()
+    for lo_i, hi_i in pairs:
+        for i in range(lo_i + 1, hi_i):
+            if i in counted:
+                continue
+            m = compute_re.search(lines[i])
             if m:
+                counted.add(i)
                 compute_between += 1
                 overlap_ops[m.group(1)] = overlap_ops.get(m.group(1), 0) + 1
 
@@ -100,6 +114,7 @@ def main():
     report = {
         "collective_permute_start_count": len(starts),
         "collective_permute_done_count": len(dones),
+        "matched_start_done_pairs": len(pairs),
         "compute_ops_between_start_and_done": compute_between,
         "overlapped_op_histogram": dict(sorted(
             overlap_ops.items(), key=lambda kv: -kv[1])[:12]),

@@ -231,6 +231,14 @@ def batchify(
     bank_index: Dict[Tuple[str, ...], int] = {(): 0}  # row 0 = pad path
     bank_paths: List[Tuple[str, ...]] = [()]
 
+    # khop is only meaningful for the sparse consumers, which mask pruned
+    # pairs out; a dense impl would silently attend to distant pairs with
+    # the unreachable-path embedding instead of their true path (ADVICE r3)
+    if sparse_khop > 0 and not (build_edges or build_block_tiles):
+        raise ValueError(
+            "sparse_khop > 0 requires build_edges/build_block_tiles (a "
+            "sparse attention_impl); dense impls must see the true paths")
+
     def bank_id(path: Tuple[str, ...]) -> int:
         path = path[:L_cap]
         # khop pruning keeps only pairs whose path has <= k labels; the
@@ -401,8 +409,11 @@ def batchify(
                 edge_arrays = dict(edge_arrays, tile_src=ts, tile_rel=tr,
                                    tile_dst=td, tile_rel_src=trs)
         if not build_edges:
+            # keep every tile layout (incl. the per-cell ctile_* arrays the
+            # ring-CP composition consumes — ADVICE r3); only the COO edge
+            # cells are dropped when the caller didn't ask for them
             edge_arrays = {k: v for k, v in edge_arrays.items()
-                           if k.startswith("tile_")}
+                           if k.startswith(("tile_", "ctile_"))}
 
     return GraphBatch(
         **edge_arrays,

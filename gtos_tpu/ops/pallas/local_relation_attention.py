@@ -456,8 +456,11 @@ def _local_attn_bwd(interpret, res, g):
      rel_bndT) = res
     B, H, N, Dh = q.shape
     P_loc = a_loc.shape[1]
+    # the cotangent stays f32 into the kernel (it accumulates in f32 and
+    # emits f32 gq/gk/gv anyway); downcasting to bf16 here would truncate
+    # gradient precision in bf16 training (ADVICE r3)
     gq, gk, gv, gab, gbb = local_relation_attention_bwd(
-        q, k, v, g.astype(q.dtype), probs, a_loc, b_loc,
+        q, k, v, g.astype(jnp.float32), probs, a_loc, b_loc,
         rel_sort, rel_bnd, rel_sortT, rel_bndT, interpret=interpret)
     g_a_loc = gab.reshape(B, P_loc, H, Dh).astype(a_loc.dtype)
     g_b_loc = gbb.reshape(B, P_loc, H, Dh).astype(b_loc.dtype)

@@ -65,14 +65,21 @@ class CheckpointManager:
         step = self.mgr.latest_step()
         if step is None:
             return None
-        r = self.mgr.restore(step, args=ocp.args.Composite(
-            params=ocp.args.StandardRestore(abstract_state.params),
-            extras=ocp.args.StandardRestore({
-                "opt_state": abstract_state.opt_state,
-                "step": abstract_state.step,
-                "rng": abstract_state.rng,
-            })))
         from gtos_tpu.train.trainer import TrainState
+        try:
+            r = self.mgr.restore(step, args=ocp.args.Composite(
+                params=ocp.args.StandardRestore(abstract_state.params),
+                extras=ocp.args.StandardRestore({
+                    "opt_state": abstract_state.opt_state,
+                    "step": abstract_state.step,
+                    "rng": abstract_state.rng,
+                })))
+        except BaseException:
+            # legacy layout (pre params/extras split): one StandardSave of
+            # the whole TrainState pytree — restore it whole so old runs
+            # still resume (ADVICE r3)
+            return self.mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract_state))
         return TrainState(params=r["params"], **r["extras"])
 
     def restore_params(self, abstract_params):

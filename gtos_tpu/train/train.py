@@ -70,10 +70,12 @@ def parse_args(argv=None):
     p.add_argument("--attention_impl", default="xla",
                    choices=["xla", "pallas", "pallas_interpret",
                             "pallas_local", "pallas_local_interpret",
-                            "sparse", "block_sparse"])
+                            "sparse", "block_sparse",
+                            "block_sparse_interpret"])
     p.add_argument("--sparse_khop", type=int, default=0,
                    help="sparse encoder: keep pairs within k path labels "
-                        "(0 = all pairs); only with --attention_impl sparse")
+                        "(0 = all pairs); only with --attention_impl "
+                        "sparse/block_sparse")
     p.add_argument("--cp_schedule", default="ring", choices=["ring", "a2a"],
                    help="context-parallel boundary exchange: ppermute ring "
                         "(overlap per step) or one all_gather + all_to_all "
@@ -103,7 +105,7 @@ def parse_args(argv=None):
                    help="context-parallel mesh size: node blocks + edge "
                         "cells sharded over the 'graph' axis with the ring "
                         "boundary-exchange schedule (requires "
-                        "--attention_impl sparse)")
+                        "--attention_impl sparse or block_sparse)")
     p.add_argument("--coordinator", help="multi-host coordinator address")
     p.add_argument("--num_hosts", type=int, default=1)
     p.add_argument("--host_id", type=int, default=0)
@@ -245,9 +247,19 @@ def main(argv=None):
         use_copy=(args.task == "amr"),
         use_node_positions=(args.task == "nmt"),
     )
-    if args.graph > 1:
-        assert args.attention_impl == "sparse", (
-            "--graph context parallelism requires --attention_impl sparse")
+    if args.graph > 1 and args.attention_impl not in (
+            "sparse", "block_sparse", "block_sparse_interpret"):
+        raise SystemExit(
+            "--graph context parallelism requires an edge-partitioned "
+            "impl: --attention_impl sparse (XLA segment ring) or "
+            "block_sparse (the composed ring x Pallas-tile flagship)")
+    if args.sparse_khop > 0 and args.attention_impl not in (
+            "sparse", "block_sparse", "block_sparse_interpret"):
+        raise SystemExit(
+            "--sparse_khop prunes pairs only the sparse impls mask out; "
+            "a dense impl would attend to pruned pairs with the "
+            "unreachable-path embedding (use --attention_impl sparse/"
+            "block_sparse)")
     train_cfg = TrainConfig(
         lr_scale=args.lr_scale, warmup_steps=args.warmup_steps,
         grad_clip=args.grad_clip, accum_steps=args.accum_steps,
@@ -266,6 +278,12 @@ def main(argv=None):
     # can never exceed the model's scatter size (VERDICT r1 weak #3)
     from gtos_tpu.data.batching import BucketSpec
     spec = BucketSpec().for_model_max_oov(model_cfg.max_oov)
+    if args.graph > 1 and args.attention_impl.startswith("block_sparse"):
+        # the composed ring-CP x block-sparse flagship needs every node
+        # block tile-aligned: one bucket of graph * 128 nodes (batchify
+        # raises BatchCapacityError otherwise)
+        gran = args.graph * 128
+        spec = dataclasses.replace(spec, nodes=(gran,))
 
     sparse = (args.attention_impl == "sparse"
               or args.attention_impl.startswith("block_sparse"))
