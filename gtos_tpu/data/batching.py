@@ -129,6 +129,10 @@ class GraphBatch:
     # composition (cp_shards > 1; see ops.block_sparse.pack_block_sparse_cells)
     ctile_src: Optional[np.ndarray] = None  # [B, S, S, Tdl, Smax_c] int32
     ctile_rel: Optional[np.ndarray] = None  # [B, S, S, Tdl, Smax_c, T, T]
+    # src-major per-cell twin (train batches only), consumed by the fused
+    # Pallas ring backward's dK/dV pass (pack_block_sparse_cells_src)
+    ctile_dst: Optional[np.ndarray] = None      # [B, S, S, Tsl, Smax_cs]
+    ctile_rel_src: Optional[np.ndarray] = None  # [..., T, T] transposed
     # per-graph LOCALIZED relation bank (built with build_local_banks=True;
     # consumed by the localized Pallas kernel, ops.pallas.local_relation_
     # attention): each graph references only its own P_loc distinct paths,
@@ -401,6 +405,13 @@ def batchify(
                     keep_p, rel_p, cp_shards, own=(own_lo, own_hi))
                 edge_arrays = dict(edge_arrays, ctile_src=cts,
                                    ctile_rel=ctr)
+                if for_train:
+                    from gtos_tpu.ops.block_sparse import (
+                        pack_block_sparse_cells_src,
+                    )
+                    ctd, ctrs = pack_block_sparse_cells_src(
+                        keep_p, rel_p, cp_shards, own=(own_lo, own_hi))
+                    edge_arrays.update(ctile_dst=ctd, ctile_rel_src=ctrs)
             else:
                 ts, tr = pack_block_sparse(keep_p, rel_p,
                                            own=(own_lo, own_hi))

@@ -182,7 +182,7 @@ def batch_edges(batch: Dict[str, jnp.ndarray]):
     (COO cells for impl='sparse'; plus block tiles for 'block_sparse')."""
     keys = ("edge_src", "edge_dst", "edge_rel", "edge_mask", "tile_src",
             "tile_rel", "tile_dst", "tile_rel_src", "ctile_src",
-            "ctile_rel",
+            "ctile_rel", "ctile_dst", "ctile_rel_src",
             # localized-bank auxiliaries (impl='pallas_local')
             "bank_map", "rel_index_loc", "rel_sort", "rel_bnd",
             "rel_sortT", "rel_bndT")

@@ -117,8 +117,11 @@ class RelationMultiheadAttention(nn.Module):
             interpret=interp)
 
     def _sparse(self, q, k, v, a_bank, b_bank, edges: EdgeDict):
-        src, dst, rel, mask = (edges["edge_src"], edges["edge_dst"],
-                               edges["edge_rel"], edges["edge_mask"])
+        # edge cells are absent when only the tile layouts were built
+        # (build_block_tiles without build_edges) — fine for the paths
+        # that never touch the COO form (fused-backward ring, tile-bwd)
+        src, dst, rel, mask = (edges.get("edge_src"), edges.get("edge_dst"),
+                               edges.get("edge_rel"), edges.get("edge_mask"))
         if self.cp_mesh is not None and \
                 self.cp_mesh.shape.get(self.cp_axis, 1) > 1:
             if self.impl.startswith("block_sparse"):
@@ -133,7 +136,10 @@ class RelationMultiheadAttention(nn.Module):
                 return ring_block_sparse_relation_attention(
                     self.cp_mesh, q, k, v, a_bank, b_bank,
                     edges["ctile_src"], edges["ctile_rel"],
-                    src, dst, rel, mask, axis_name=self.cp_axis,
+                    src, dst, rel, mask,
+                    ctile_dst=edges.get("ctile_dst"),
+                    ctile_rel_src=edges.get("ctile_rel_src"),
+                    axis_name=self.cp_axis,
                     interpret=self.impl.endswith("_interpret"))
             if self.cp_schedule == "a2a":
                 from gtos_tpu.parallel.a2a_attention import (
@@ -149,8 +155,10 @@ class RelationMultiheadAttention(nn.Module):
                 self.cp_mesh, q, k, v, a_bank, b_bank,
                 src, dst, rel, mask, axis_name=self.cp_axis)
         from gtos_tpu.ops.sparse_relation import flatten_edge_cells
-        fsrc, fdst, frel, fmask = flatten_edge_cells(
-            src, dst, rel, mask, num_nodes=q.shape[2])
+        fsrc = fdst = frel = fmask = None
+        if src is not None:
+            fsrc, fdst, frel, fmask = flatten_edge_cells(
+                src, dst, rel, mask, num_nodes=q.shape[2])
         if self.impl.startswith("block_sparse"):
             # Pallas tile-kernel forward; Pallas two-pass backward when the
             # src-major tile layout is in the batch, else XLA segment

@@ -137,6 +137,36 @@ def pack_block_sparse_cells(keep: np.ndarray, rel_index: np.ndarray,
             tr.reshape(B, S, S, Tdl, Smax_c, tile, tile))
 
 
+def pack_block_sparse_cells_src(keep: np.ndarray, rel_index: np.ndarray,
+                                cp_shards: int, tile: int = TILE, own=None):
+    """Src-major twin of pack_block_sparse_cells, for the fused Pallas
+    ring BACKWARD (VERDICT r3 next #2): per (dst-block, src-block) cell,
+    the tiles grouped by SOURCE tile with block-local ids, so each ring
+    step can run the two-pass Pallas backward's dK/dV (column) pass on
+    the cell it currently holds. Returns
+      ctile_dst [B, S, S, Tsl, Smax_cs] int32 (-1 pad),
+      ctile_rel_src [B, S, S, Tsl, Smax_cs, tile, tile] int32
+          (TRANSPOSED [src-local j, dst-local i] orientation, -1 dropped).
+    Cell (d, s) is indexed dst-block-major like ctile_src, so both
+    layouts shard identically on the dst axis."""
+    B, N, N2 = keep.shape
+    S = cp_shards
+    assert N == N2 and N % S == 0, (N, N2, S)
+    Nl = N // S
+    assert Nl % tile == 0, (
+        f"node block {Nl} (= {N}/{S}) must be a multiple of {tile} for "
+        "the block-sparse CP layout")
+    keep_c = keep.reshape(B, S, Nl, S, Nl).transpose(0, 1, 3, 2, 4)
+    rel_c = rel_index.reshape(B, S, Nl, S, Nl).transpose(0, 1, 3, 2, 4)
+    own_c = ((own[0] * S * S, own[1] * S * S) if own is not None else None)
+    td, trs = pack_block_sparse_src(
+        keep_c.reshape(B * S * S, Nl, Nl),
+        rel_c.reshape(B * S * S, Nl, Nl), tile=tile, own=own_c)
+    Tsl, Smax_cs = td.shape[1:]
+    return (td.reshape(B, S, S, Tsl, Smax_cs),
+            trs.reshape(B, S, S, Tsl, Smax_cs, tile, tile))
+
+
 def keep_from_edge_cells(edge_src, edge_dst, edge_mask, num_nodes: int,
                          edge_rel=None):
     """Rebuild the [B, N, N] kept-pair mask (and optionally a rel matrix)

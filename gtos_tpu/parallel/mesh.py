@@ -56,7 +56,7 @@ _BATCH_LEADING = (
 _EDGE_CELLS = ("edge_src", "edge_dst", "edge_rel", "edge_mask")
 # per-cell tile layouts [B, S_dst, S_src, ...] for block-sparse CP: same
 # dst-block sharding as the edge cells (the ring schedule's layout)
-_CTILE = ("ctile_src", "ctile_rel")
+_CTILE = ("ctile_src", "ctile_rel", "ctile_dst", "ctile_rel_src")
 
 
 def arrays_shardings(mesh: Mesh, arrays: Dict[str, np.ndarray],

@@ -1,5 +1,5 @@
 """Ring context-parallel BLOCK-SPARSE relation attention — the composed
-flagship path (VERDICT r2 next #2).
+flagship path (VERDICT r2 next #2; fused backward VERDICT r3 next #2).
 
 Round 2 shipped the two halves separately: a ppermute ring whose per-step
 compute was the XLA segment path (parallel/ring_attention.py), and a fast
@@ -17,12 +17,24 @@ This module runs the TILE KERNEL as the per-ring-step compute:
   * per-step (out, m, l) streamed-softmax partials are merged
     flash-attention-style across steps, which is exact.
 
-Backward: gradients flow through a custom VJP that differentiates the
-edge-cell XLA ring (parallel/ring_attention.py) — the SAME function on the
-SAME kept-pair set, already grad-parity-tested — so the composed path
-trains today with the fast forward; a fully fused Pallas ring backward
-(two-pass per step, reverse-ring dk/dv accumulation) is the next
-optimization step and is noted in README.
+Backward (fused, the default when the src-major cell layout ctile_dst /
+ctile_rel_src from pack_block_sparse_cells_src is in the batch): a REVERSE
+accumulation ring. The forward saves its merged softmax stats (m, l) and
+normalized output; the backward rotates (k, v, dk, dv) together — at each
+step a device recomputes cell (local_dst, held_src) scores from the GLOBAL
+stats (the flash decomposition makes per-cell probabilities exact) and runs
+the two-pass Pallas tile backward (ops/pallas/block_sparse_attention_bwd)
+on that cell: dq and the b-bank grad accumulate locally (dst-major pass),
+dk/dv of the HELD block accumulate into the rotating buffers (src-major
+pass), and one final ppermute delivers each block's dk/dv home. Bank grads
+are psum-reduced over the graph (and data) axes. Work stays
+O(nonempty_blocks * T^2) per device per pass — the XLA segment VJP this
+replaces was the dominant cost of training the composed flagship
+(sparse_roofline.json: 17x slower than the tile kernels).
+
+Fallback (no src-major layout, e.g. pre-r4 batches): a custom VJP that
+differentiates the edge-cell XLA ring (parallel/ring_attention.py) on the
+same kept-pair set.
 """
 
 from __future__ import annotations
@@ -38,12 +50,15 @@ NEG_INF = -1e9
 
 
 def _ring_body(q, k, v, a_bank, b_bank, ctile_src, ctile_rel, *,
-               axis_name: str, n_shards: int, scale, interpret: bool):
+               axis_name: str, n_shards: int, scale, interpret: bool,
+               with_stats: bool = False):
     """Per-device body under shard_map.
 
     q, k, v: [B, H, Nl, D] (this device's node block); ctile_src:
     [B, 1, S, Tdl, Smax_c]; ctile_rel: [B, 1, S, Tdl, Smax_c, T, T]
-    (this device's dst-block row of cells, block-local tile ids)."""
+    (this device's dst-block row of cells, block-local tile ids).
+    with_stats additionally returns the merged softmax stats
+    (m, l) [B, H, Nl, 1] f32 for the fused ring backward."""
     from gtos_tpu.ops.pallas.block_sparse_attention import (
         block_sparse_relation_attention,
     )
@@ -96,31 +111,179 @@ def _ring_body(q, k, v, a_bank, b_bank, ctile_src, ctile_rel, *,
 
     has_in = l > 0
     safe = jnp.where(has_in, l, 1.0)
-    return jnp.where(has_in, o / safe, 0.0)
+    out = jnp.where(has_in, o / safe, 0.0)
+    if with_stats:
+        return out, m, l
+    return out
+
+
+def _cp_specs(mesh, axis_name):
+    data_ax = "data" if "data" in mesh.shape else None
+    node_sp = P(data_ax, None, axis_name, None)
+    cell_sp = P(data_ax, axis_name, None, None, None)
+    rel_sp = P(data_ax, axis_name, None, None, None, None, None)
+    return data_ax, node_sp, cell_sp, rel_sp
 
 
 def _pallas_ring_fwd(mesh, axis_name, interpret, scale, q, k, v, a_bank,
-                     b_bank, ctile_src, ctile_rel):
+                     b_bank, ctile_src, ctile_rel, with_stats=False):
     S = mesh.shape[axis_name]
     body = functools.partial(_ring_body, axis_name=axis_name, n_shards=S,
-                             scale=scale, interpret=interpret)
+                             scale=scale, interpret=interpret,
+                             with_stats=with_stats)
     # FULL-manual shard_map (all mesh axes) with check_vma=False:
     # pallas_call does not yet carry varying-mesh-axes metadata, which
     # rules out both vma checking and partial-auto mode here. Consequence:
     # inputs are replicated over 'model' at entry (under TP, GSPMD
     # all-gathers the head shards first) — the XLA ring keeps heads
     # sharded; revisit when pallas_call supports vma.
-    data_ax = "data" if "data" in mesh.shape else None
-    node_sp = P(data_ax, None, axis_name, None)
-    cell_sp = P(data_ax, axis_name, None, None, None)
-    rel_sp = P(data_ax, axis_name, None, None, None, None, None)
+    _, node_sp, cell_sp, rel_sp = _cp_specs(mesh, axis_name)
     rep = P()
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(node_sp, node_sp, node_sp, rep, rep, cell_sp, rel_sp),
-        out_specs=node_sp,
+        out_specs=((node_sp, node_sp, node_sp) if with_stats else node_sp),
         check_vma=False,
     )(q, k, v, a_bank, b_bank, ctile_src, ctile_rel)
+
+
+# ---------------------------------------------------------------------------
+# Fused path: Pallas tile kernels in BOTH directions (default for training
+# batches, which carry the src-major cell layout).
+# ---------------------------------------------------------------------------
+
+
+def _ring_bwd_body(q, k, v, g, out, m, l, a_bank, b_bank, ctile_src,
+                   ctile_rel, ctile_dst, ctile_rel_src, *, axis_name: str,
+                   n_shards: int, scale, interpret: bool,
+                   data_axis=None):
+    """Reverse accumulation ring (one device's view).
+
+    q/g/out/m/l: this device's dst block; k/v: its home src block. The
+    (k, v, dk, dv) quartet rotates together: at step t the device holds
+    block j = (s - t) mod S and adds cell (s, j)'s dk/dv contribution to
+    the rotating accumulators; a final ppermute delivers each block's
+    grads home. Global (m, l) make the per-cell probabilities exact, and
+    delta = sum(g * out) is local to the dst block, so no recompute of
+    other cells is ever needed."""
+    from gtos_tpu.ops.pallas.block_sparse_attention_bwd import (
+        block_sparse_attention_bwd,
+    )
+
+    B, H, Nl, D = q.shape
+    S = n_shards
+    s = jax.lax.axis_index(axis_name)
+    f32 = jnp.float32
+    perm = [(i, (i + 1) % S) for i in range(S)]
+    ctile_src = ctile_src[:, 0]
+    ctile_rel = ctile_rel[:, 0]
+    ctile_dst = ctile_dst[:, 0]
+    ctile_rel_src = ctile_rel_src[:, 0]
+    # compact node-per-lane stat layout the tile backward consumes
+    m_c = m.reshape(B, H, -1, 128)
+    l_c = l.reshape(B, H, -1, 128)
+    g32 = g.astype(f32)
+
+    dq = jnp.zeros((B, H, Nl, D), f32)
+    gab = jnp.zeros(a_bank.shape, f32)
+    gbb = jnp.zeros(b_bank.shape, f32)
+    k_buf, v_buf = k, v
+    dk_buf = jnp.zeros((B, H, Nl, D), f32)
+    dv_buf = jnp.zeros((B, H, Nl, D), f32)
+
+    for t in range(S):
+        # k/v are read-only: their exchange is pre-issued so XLA overlaps
+        # it with this step's tiles. The dk/dv ACCUMULATORS must rotate
+        # AFTER this step's contribution lands in them.
+        if t < S - 1:
+            k_nxt = jax.lax.ppermute(k_buf, axis_name, perm)
+            v_nxt = jax.lax.ppermute(v_buf, axis_name, perm)
+
+        j = (s - t) % S
+        cell = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
+            a, j, axis=1, keepdims=False)
+        dq_t, dk_t, dv_t, gab_t, gbb_t = block_sparse_attention_bwd(
+            q, k_buf, v_buf, a_bank, b_bank, cell(ctile_src),
+            cell(ctile_rel), cell(ctile_dst), cell(ctile_rel_src),
+            out, m_c, l_c, g32, interpret=interpret, scale=scale)
+        dq += dq_t.astype(f32)
+        gab += gab_t.astype(f32)
+        gbb += gbb_t.astype(f32)
+        dk_buf += dk_t.astype(f32)
+        dv_buf += dv_t.astype(f32)
+
+        if t < S - 1:
+            k_buf, v_buf = k_nxt, v_nxt
+            dk_buf = jax.lax.ppermute(dk_buf, axis_name, perm)
+            dv_buf = jax.lax.ppermute(dv_buf, axis_name, perm)
+
+    if S > 1:
+        # the buffers currently hold block (s+1) mod S; one more rotation
+        # lands every block's gradient on its home device
+        dk_buf = jax.lax.ppermute(dk_buf, axis_name, perm)
+        dv_buf = jax.lax.ppermute(dv_buf, axis_name, perm)
+
+    # bank grads: every (data shard, ring device) contributes a partial of
+    # the SAME replicated banks; 'model'-axis devices compute identical
+    # partials (inputs are replicated over 'model' at shard_map entry), so
+    # the sum runs over data+graph only
+    reduce_axes = ((axis_name,) if data_axis is None
+                   else (data_axis, axis_name))
+    gab = jax.lax.psum(gab, reduce_axes)
+    gbb = jax.lax.psum(gbb, reduce_axes)
+    return dq, dk_buf, dv_buf, gab, gbb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _ring_blk_vjp_pallas(mesh, axis_name, interpret, scale, q, k, v,
+                         a_bank, b_bank, ctile_src, ctile_rel, ctile_dst,
+                         ctile_rel_src):
+    return _pallas_ring_fwd(mesh, axis_name, interpret, scale, q, k, v,
+                            a_bank, b_bank, ctile_src, ctile_rel)
+
+
+def _ring_blk_pallas_fwd(mesh, axis_name, interpret, scale, q, k, v,
+                         a_bank, b_bank, ctile_src, ctile_rel, ctile_dst,
+                         ctile_rel_src):
+    out, m, l = _pallas_ring_fwd(mesh, axis_name, interpret, scale, q, k, v,
+                                 a_bank, b_bank, ctile_src, ctile_rel,
+                                 with_stats=True)
+    return out, (q, k, v, a_bank, b_bank, ctile_src, ctile_rel, ctile_dst,
+                 ctile_rel_src, out, m, l)
+
+
+def _ring_blk_pallas_bwd(mesh, axis_name, interpret, scale, res, g):
+    (q, k, v, a_bank, b_bank, ctile_src, ctile_rel, ctile_dst,
+     ctile_rel_src, out, m, l) = res
+    S = mesh.shape[axis_name]
+    data_ax, node_sp, cell_sp, rel_sp = _cp_specs(mesh, axis_name)
+    body = functools.partial(_ring_bwd_body, axis_name=axis_name,
+                             n_shards=S, scale=scale, interpret=interpret,
+                             data_axis=data_ax)
+    stat_sp = node_sp
+    rep = P()
+    dq, dk, dv, gab, gbb = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(node_sp, node_sp, node_sp, node_sp, node_sp, stat_sp,
+                  stat_sp, rep, rep, cell_sp, rel_sp, cell_sp, rel_sp),
+        out_specs=(node_sp, node_sp, node_sp, rep, rep),
+        check_vma=False,
+    )(q, k, v, g, out, m, l, a_bank, b_bank, ctile_src, ctile_rel,
+      ctile_dst, ctile_rel_src)
+    zeros = lambda x: _np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            gab.astype(a_bank.dtype), gbb.astype(b_bank.dtype),
+            zeros(ctile_src), zeros(ctile_rel), zeros(ctile_dst),
+            zeros(ctile_rel_src))
+
+
+_ring_blk_vjp_pallas.defvjp(_ring_blk_pallas_fwd, _ring_blk_pallas_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fallback: XLA segment-ring backward (batches without the src-major cell
+# layout — e.g. inference batches re-used for a grad check).
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -171,7 +334,8 @@ _ring_blk_vjp.defvjp(_ring_blk_fwd, _ring_blk_bwd)
 
 def ring_block_sparse_relation_attention(
     mesh: Mesh, q, k, v, a_bank, b_bank, ctile_src, ctile_rel,
-    edge_src, edge_dst, edge_rel, edge_mask,
+    edge_src=None, edge_dst=None, edge_rel=None, edge_mask=None,
+    ctile_dst=None, ctile_rel_src=None,
     axis_name: str = "graph", scale=None, interpret: bool = False,
 ):
     """Context-parallel block-sparse relation attention (ring schedule,
@@ -179,9 +343,11 @@ def ring_block_sparse_relation_attention(
 
     q, k, v: [B, H, N, D] node-sharded over `axis_name`; banks replicated;
     ctile_src/ctile_rel: per-cell tile layout from
-    pack_block_sparse_cells, sharded on the dst-block dim (axis 1);
-    edge_* : [B, S, S, Ec] COO cells (same kept-pair set), consumed by the
-    backward. Returns out [B, H, N, D] f32, node-sharded."""
+    pack_block_sparse_cells, sharded on the dst-block dim (axis 1).
+    With ctile_dst/ctile_rel_src (pack_block_sparse_cells_src, training
+    batches) the backward is the fused Pallas reverse ring; otherwise it
+    differentiates the edge-cell XLA ring over edge_* (the same kept-pair
+    set). Returns out [B, H, N, D] f32, node-sharded."""
     S = mesh.shape[axis_name]
     N = q.shape[2]
     assert N % S == 0, f"node dim {N} not divisible by '{axis_name}'={S}"
@@ -190,6 +356,14 @@ def ring_block_sparse_relation_attention(
         f"cp_shards={ctile_src.shape[1]}, mesh has {S}")
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if ctile_dst is not None:
+        return _ring_blk_vjp_pallas(mesh, axis_name, interpret, scale, q, k,
+                                    v, a_bank, b_bank, ctile_src, ctile_rel,
+                                    ctile_dst, ctile_rel_src)
+    assert edge_src is not None, (
+        "need either (ctile_dst, ctile_rel_src) for the fused Pallas ring "
+        "backward or the edge cells (edge_src..edge_mask) for the XLA ring "
+        "backward")
     return _ring_blk_vjp(mesh, axis_name, interpret, scale, q, k, v,
                          a_bank, b_bank, ctile_src, ctile_rel, edge_src,
                          edge_dst, edge_rel, edge_mask)

@@ -151,6 +151,48 @@ def test_ring_block_sparse_grads_match_xla(eight_devices, big_batches):
                                    rtol=5e-4, atol=5e-4, err_msg=name)
 
 
+def test_ring_block_sparse_fused_bwd_grads(eight_devices, big_batches):
+    """The FUSED Pallas reverse-accumulation ring backward (rotating dk/dv
+    + per-cell two-pass tile backward, VERDICT r3 next #2) produces the
+    same gradients as autodiff of the single-device XLA sparse path."""
+    from gtos_tpu.ops.sparse_relation import (
+        flatten_edge_cells, sparse_relation_attention,
+    )
+    from gtos_tpu.parallel import ring_block_sparse_relation_attention
+
+    _, b_cp, b_1 = big_batches
+    assert b_cp.ctile_dst is not None, "train batches carry ctile_dst"
+    q, k, v, a_bank, b_bank = _rand_qkv(b_cp)
+    mesh = make_mesh(dp=1, mp=1, graph=2, devices=eight_devices[:2])
+
+    def loss_ring(q, k, v, ab, bb):
+        o = ring_block_sparse_relation_attention(
+            mesh, q, k, v, ab, bb,
+            jnp.asarray(b_cp.ctile_src), jnp.asarray(b_cp.ctile_rel),
+            ctile_dst=jnp.asarray(b_cp.ctile_dst),
+            ctile_rel_src=jnp.asarray(b_cp.ctile_rel_src),
+            interpret=True)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    fsrc, fdst, frel, fmask = flatten_edge_cells(
+        jnp.asarray(b_1.edge_src), jnp.asarray(b_1.edge_dst),
+        jnp.asarray(b_1.edge_rel), jnp.asarray(b_1.edge_mask),
+        num_nodes=q.shape[2])
+
+    def loss_ref(q, k, v, ab, bb):
+        o = sparse_relation_attention(q, k, v, ab, bb, fsrc, fdst, frel,
+                                      fmask)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2, 3, 4)))(
+        q, k, v, a_bank, b_bank)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4)))(
+        q, k, v, a_bank, b_bank)
+    for name, a, b in zip("qkvab", g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
 def test_model_block_sparse_cp_trains(eight_devices, big_batches):
     """Full model with impl=block_sparse under a graph=2 mesh: the sharded
     train step runs and matches the single-device loss."""
