@@ -116,11 +116,38 @@ def main():
         loss, g = jax.value_and_grad(lf)(params)
         return perturb(c, optax.global_norm(g))
 
+    # ---- backward decomposition (VERDICT r3 next #3): grads of nested
+    # sub-programs; differences attribute the backward per component ----
+    def grad_of(apply_fn):
+        def f(c):
+            def lf(p):
+                return apply_fn(p).astype(jnp.float32).sum()
+            val, g = jax.value_and_grad(lf)(params)
+            return perturb(c, optax.global_norm(g))
+        return f
+
+    gru_apply = lambda p: model.apply(  # noqa: E731
+        p, arrays["rel_bank"], arrays["rel_length"], True,
+        method=lambda m, b, l, det: m.relation_encoder(b, l, det))
+    enc_apply = lambda p: model.apply(  # noqa: E731
+        p, arrays["concept"], arrays["concept_char"],
+        arrays["concept_mask"], arrays["rel_bank"], arrays["rel_length"],
+        arrays["rel_index"], True, edges=edges, method=Generator.encode)
+
+    def opt_only(c):
+        # optimizer chain alone on frozen grads (params as a stand-in
+        # gradient pytree keeps shapes/dtypes honest)
+        updates, _ = tx.update(params, state.opt_state, params)
+        return perturb(c, optax.global_norm(updates))
+
     c0 = jnp.float32(0.0)
     t_gru = marginal(gru_only, c0, 8, 40)
     t_encode = marginal(encode_only, c0, 6, 30)
     t_fwd = marginal(fwd_loss, c0, 6, 30)
     t_grad = marginal(grad_step, c0, 3, 15)
+    t_gru_fb = marginal(grad_of(gru_apply), c0, 4, 20)
+    t_enc_fb = marginal(grad_of(enc_apply), c0, 3, 15)
+    t_opt = marginal(opt_only, c0, 8, 40)
 
     # full optimizer step, fori-carried (per-dispatch tunnel latency is
     # several ms and would swamp a dispatch-timed loop)
@@ -168,6 +195,21 @@ def main():
                 attn_stack * 1e3, 3),
             "decoder_copy_loss_fwd": round(decoder_loss * 1e3, 3),
             "host_batchify_per_batch": round(t_host * 1e3, 3),
+        },
+        "backward_decomposition_ms": {
+            "note": ("fwd+bwd of nested sub-programs (marginal slopes); "
+                     "differences attribute the 'backward+optimizer' "
+                     "block per component — VERDICT r3 next #3"),
+            "relation_gru_fwd_bwd": round(t_gru_fb * 1e3, 3),
+            "encoder_fwd_bwd(gru+localize+attn_stack)": round(
+                t_enc_fb * 1e3, 3),
+            "attn_stack_plus_localize_fwd_bwd": round(
+                (t_enc_fb - t_gru_fb) * 1e3, 3),
+            "decoder_copy_loss_fwd_bwd": round((t_grad - t_enc_fb) * 1e3,
+                                               3),
+            "optimizer_update_only": round(t_opt * 1e3, 3),
+            "dispatch_residual(full_step - grad - opt)": round(
+                (t_step - t_grad - t_opt) * 1e3, 3),
         },
         "shares_of_step": {
             "forward": round(t_fwd / t_step, 3),

@@ -64,7 +64,7 @@ def main(argv=None):
                     build_block_tiles=model_cfg.attention_impl.startswith(
                         "block_sparse"),
                     build_local_banks=model_cfg.attention_impl.startswith(
-                        "pallas_local"),
+                        ("pallas_local", "auto")),
                     sparse_khop=model_cfg.sparse_khop)
 
     # Restore PARAMS ONLY (VERDICT r2 weak #8): the abstract template comes
@@ -88,8 +88,17 @@ def main(argv=None):
     # the output file (the reference's work.py contract)
     from gtos_tpu.data.postprocess import join_bpe, postprocess_hypothesis
     results = []  # (orig_index, hypothesis line, reference line)
+    import dataclasses
+
+    from gtos_tpu.models.generator import resolve_attention_impl
     for batch, group in dl.iter_with_instances():
-        hyps = decode_batch(model, params, batch, tv,
+        dec_model = model
+        if model_cfg.attention_impl.startswith("auto"):
+            impl = resolve_attention_impl(model_cfg.attention_impl,
+                                          batch.arrays())
+            dec_model = Generator(dataclasses.replace(
+                model_cfg, attention_impl=impl))
+        hyps = decode_batch(dec_model, params, batch, tv,
                             beam_size=args.beam_size,
                             max_steps=args.max_time_step, alpha=args.alpha)
         for hyp, inst in zip(hyps, group):

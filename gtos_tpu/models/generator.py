@@ -29,6 +29,33 @@ from gtos_tpu.utils.config import ModelConfig
 
 EPS = 1e-9
 
+# auto impl dispatch: per-graph localized banks beat the global-bank kernel
+# when they are much smaller than the batch bank (fewer per-pair gather
+# chunks); at path-diverse buckets P_loc approaches P and the global kernel
+# wins (benchmarks/train_step.json impl_guidance). The threshold is the
+# measured crossover's safe side.
+AUTO_LOCAL_RATIO = 4
+
+
+def resolve_attention_impl(impl: str, arrays) -> str:
+    """Map attention_impl='auto' to the right kernel for THIS batch
+    (VERDICT r3 next #6 — the best impl is bucket-dependent; a pinned
+    choice eats up to 6x regret on the wrong bucket).
+
+    Picks 'pallas_local' when the batch carries localized banks and the
+    per-graph bank is at least AUTO_LOCAL_RATIO x smaller than the global
+    bank, else the global-bank 'pallas' kernel. Non-auto impls pass
+    through unchanged."""
+    if not impl.startswith("auto"):
+        return impl
+    suffix = "_interpret" if impl.endswith("_interpret") else ""
+    if "bank_map" in arrays:
+        P = arrays["rel_bank"].shape[0]
+        P_loc = arrays["bank_map"].shape[1]
+        if P_loc * AUTO_LOCAL_RATIO <= P:
+            return "pallas_local" + suffix
+    return "pallas" + suffix
+
 
 def _dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32

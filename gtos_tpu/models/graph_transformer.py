@@ -54,6 +54,12 @@ class RelationMultiheadAttention(nn.Module):
     def __call__(self, x, rel_vecs, rel_index, node_mask,
                  edges: Optional[EdgeDict] = None):
         """x: [B,N,D]; rel_vecs: [P,Dr]; rel_index: [B,N,N]; node_mask: [B,N]."""
+        assert self.impl in (
+            "xla", "pallas", "pallas_interpret", "pallas_local",
+            "pallas_local_interpret", "sparse", "block_sparse",
+            "block_sparse_interpret"), (
+            f"unknown attention impl {self.impl!r} (did 'auto' reach the "
+            "model unresolved? resolve_attention_impl must run per batch)")
         H, Dh = self.heads, self.d_model // self.heads
         q = split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(x), H)
         k = split_heads(nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(x), H)

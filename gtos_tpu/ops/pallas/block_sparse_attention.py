@@ -124,12 +124,12 @@ def _kernel_stats(tile_src_ref, q_ref, k_ref, v_ref, ab_ref, bb_ref,
 
     @pl.when(s == smax - 1)
     def _():
-        H, Tn, _ = m_sc.shape
         # compact layout (VERDICT r2 weak #9): one stat per dst NODE, the
-        # tile's T rows packed into the 128 lanes — [1, H, 1, 128] per dst
-        # tile instead of a [H, T, 128] lane-broadcast (128x less HBM)
-        m_out[0, :, 0, :] = m_sc[..., 0].reshape(H, Tn)
-        l_out[0, :, 0, :] = l_sc[..., 0].reshape(H, Tn)
+        # tile's T rows packed into the 128 lanes, heads on the sublane
+        # dim — [1, 1, H, 128] per dst tile (Mosaic requires the last two
+        # block dims be 8/128-divisible or full, so Td rides dim 1)
+        m_out[0, 0] = m_sc[..., 0]
+        l_out[0, 0] = l_sc[..., 0]
 
 
 @functools.partial(jax.jit,
@@ -142,10 +142,10 @@ def block_sparse_relation_attention(q, k, v, a_bank, b_bank, tile_src,
     in v.dtype; rows with no kept incoming pair are 0.
 
     with_stats=True additionally returns the streamed-softmax stats
-    (m, l) [B, H, Td, 128] f32 — one value per dst node, each tile's T
-    rows packed into the lane dim (row-major, so reshaping to
-    [B, H, N_pad] is free) — consumed by the Pallas backward
-    (block_sparse_attention_bwd) and the ring-CP merge."""
+    (m, l) [B, Td, H, 128] f32 — one value per dst node, each tile's T
+    rows packed into the lane dim, heads on the sublane dim — consumed by
+    the Pallas backward (block_sparse_attention_bwd) and the ring-CP
+    merge."""
     B, H, N, Dh = q.shape
     P = a_bank.shape[0]
     Bt, Td, Smax = tile_src.shape
@@ -219,8 +219,8 @@ def block_sparse_relation_attention(q, k, v, a_bank, b_bank, tile_src,
     )
 
     if with_stats:
-        stat_spec = pl.BlockSpec((1, H, 1, 128),
-                                 lambda b, td, s, sr: (b, 0, td, 0),
+        stat_spec = pl.BlockSpec((1, 1, H, 128),
+                                 lambda b, td, s, sr: (b, td, 0, 0),
                                  memory_space=pltpu.VMEM)
         stats_grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
@@ -232,8 +232,8 @@ def block_sparse_relation_attention(q, k, v, a_bank, b_bank, tile_src,
             grid_spec=stats_grid_spec,
             out_shape=(
                 jax.ShapeDtypeStruct((B, H, N_pad, Dh_pad), v.dtype),
-                jax.ShapeDtypeStruct((B, H, Td, 128), f32),
-                jax.ShapeDtypeStruct((B, H, Td, 128), f32),
+                jax.ShapeDtypeStruct((B, Td, H, 128), f32),
+                jax.ShapeDtypeStruct((B, Td, H, 128), f32),
             ),
             interpret=interpret,
         )(src_clamped, qp, kp, vp, abT, bbT, tile_rel)

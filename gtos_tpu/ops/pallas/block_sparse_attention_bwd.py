@@ -130,9 +130,9 @@ def _bwd_dst_kernel(tile_src_ref, q_ref, k_ref, v_ref, g_ref, m_ref, l_ref,
             t1 = _dot(qh, kh, (((1,), (1,))), dt)
             e = (t1 + e2 + e3t.T) * scale + mask_add
 
-            m_col = m_ref[0, h, 0].reshape(T, 1)         # lanes -> rows
-            l_col = l_ref[0, h, 0].reshape(T, 1)
-            d_col = dl_ref[0, h, 0].reshape(T, 1)
+            m_col = m_ref[0, 0, h].reshape(T, 1)         # lanes -> rows
+            l_col = l_ref[0, 0, h].reshape(T, 1)
+            d_col = dl_ref[0, 0, h].reshape(T, 1)
             l_safe = jnp.where(l_col > 0, l_col, 1.0)
             p = jnp.where(pair_ok, jnp.exp(e - m_col), 0.0) / l_safe
             dp = _dot(gh, vh, (((1,), (1,))), dt)        # [T, T] dO_i . v_j
@@ -196,9 +196,9 @@ def _bwd_src_kernel(tile_dst_ref, k_ref, v_ref, q_ref, g_ref, m_ref, l_ref,
             t1T = _dot(kh, qd, (((1,), (1,))), dt)       # [T_j, T_i]
             eT = (t1T + e2.T + e3t) * scale + mask_addT
 
-            m_row = m_ref[0, h, 0].reshape(1, T)         # per dst node i
-            l_row = l_ref[0, h, 0].reshape(1, T)
-            d_row = dl_ref[0, h, 0].reshape(1, T)
+            m_row = m_ref[0, 0, h].reshape(1, T)         # per dst node i
+            l_row = l_ref[0, 0, h].reshape(1, T)
+            d_row = dl_ref[0, 0, h].reshape(1, T)
             l_safe = jnp.where(l_row > 0, l_row, 1.0)
             pT = jnp.where(pair_okT, jnp.exp(eT - m_row), 0.0) / l_safe
             dpT = _dot(vh, gd, (((1,), (1,))), dt)       # [T_j, T_i]
@@ -242,7 +242,7 @@ def block_sparse_attention_bwd(q, k, v, a_bank, b_bank, tile_src, tile_rel,
     """-> (dq, dk, dv [B,H,N,Dh] in input dtypes, g_ab, g_bb [P,H,Dh] f32).
 
     out: the forward's output [B,H,N,Dh]; m, l: the forward's softmax stats
-    ([B,H,Td,128] compact node-per-lane layout from with_stats=True);
+    ([B,Td,H,128] compact node-per-lane layout from with_stats=True);
     g: cotangent [B,H,N,Dh] f32."""
     B, H, N, Dh = q.shape
     P = a_bank.shape[0]
@@ -262,13 +262,14 @@ def block_sparse_attention_bwd(q, k, v, a_bank, b_bank, tile_src, tile_rel,
                  [(0, 0), (0, 0), (0, N_pad - N), (0, Dh_pad - Dh)])
     delta = jnp.sum(g.astype(f32) * out.astype(f32), axis=-1)   # [B,H,N]
     delta = jnp.pad(delta, [(0, 0), (0, 0), (0, N_pad - N)])
-    # compact stat layout: [B, H, Td, 128] (free reshape, row-major)
-    delta = delta.reshape(B, H, Td, T)
+    # compact stat layout: [B, Td, H, 128] (tile rows on lanes, heads on
+    # sublanes — Td rides dim 1 so blocks keep legal 8/128 tails)
+    delta = delta.reshape(B, H, Td, T).transpose(0, 2, 1, 3)
 
     node_spec = lambda imap: pl.BlockSpec(  # noqa: E731
         (1, H, T, Dh_pad), imap, memory_space=pltpu.VMEM)
     stat_spec = lambda imap: pl.BlockSpec(  # noqa: E731
-        (1, H, 1, 128), imap, memory_space=pltpu.VMEM)
+        (1, 1, H, 128), imap, memory_space=pltpu.VMEM)
     bank_spec = pl.BlockSpec((H, P_pad, Dh_pad), lambda b, t, s, pr: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     rel_spec = pl.BlockSpec((1, 1, 1, T, T), lambda b, t, s, pr: (b, t, s, 0, 0),
@@ -281,6 +282,7 @@ def block_sparse_attention_bwd(q, k, v, a_bank, b_bank, tile_src, tile_rel,
         pltpu.VMEM((T, H, P_pad), f32),  # GT2/GT3 staging
     ]
     here = lambda b, t, s, pr: (b, 0, t, 0)             # noqa: E731
+    here_s = lambda b, t, s, pr: (b, t, 0, 0)           # noqa: E731
 
     # ---- pass 1: dst-major (dq, g_bb) ----
     def far1(b, t, s, pr):
@@ -292,8 +294,8 @@ def block_sparse_attention_bwd(q, k, v, a_bank, b_bank, tile_src, tile_rel,
             num_scalar_prefetch=1,
             grid=(B, Td, Smax_d),
             in_specs=[node_spec(here), node_spec(far1), node_spec(far1),
-                      node_spec(here), stat_spec(here), stat_spec(here),
-                      stat_spec(here), bank_spec, bank_spec, rel_spec],
+                      node_spec(here), stat_spec(here_s), stat_spec(here_s),
+                      stat_spec(here_s), bank_spec, bank_spec, rel_spec],
             out_specs=[node_spec(here), gbank_spec],
             scratch_shapes=scratch,
         ),
@@ -311,14 +313,17 @@ def block_sparse_attention_bwd(q, k, v, a_bank, b_bank, tile_src, tile_rel,
     def far2(b, t, s, pr):
         return (b, 0, pr[b, t, s], 0)
 
+    def far2_s(b, t, s, pr):
+        return (b, pr[b, t, s], 0, 0)
+
     dkp, dvp, gabT = pl.pallas_call(
         functools.partial(_bwd_src_kernel, scale=scale, smax=Smax_s),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, Ts, Smax_s),
             in_specs=[node_spec(here), node_spec(here), node_spec(far2),
-                      node_spec(far2), stat_spec(far2), stat_spec(far2),
-                      stat_spec(far2), bank_spec, bank_spec, rel_spec],
+                      node_spec(far2), stat_spec(far2_s), stat_spec(far2_s),
+                      stat_spec(far2_s), bank_spec, bank_spec, rel_spec],
             out_specs=[node_spec(here), node_spec(here), gbank_spec],
             scratch_shapes=scratch,
         ),

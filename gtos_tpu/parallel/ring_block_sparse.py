@@ -92,10 +92,10 @@ def _ring_body(q, k, v, a_bank, b_bank, ctile_src, ctile_rel, *,
         out_t, m_t, l_t = block_sparse_relation_attention(
             q, k_buf, v_buf, a_bank, b_bank, cell_src, cell_rel,
             interpret=interpret, scale=scale, with_stats=True)
-        # stats arrive in the compact [B, H, Tdl, 128] node-per-lane
-        # layout; row-major reshape recovers one value per dst node
-        m_t = m_t.reshape(B, H, -1, 1)[:, :, :Nl]
-        l_t = l_t.reshape(B, H, -1, 1)[:, :, :Nl]
+        # stats arrive in the compact [B, Tdl, H, 128] layout (tile rows
+        # on lanes, heads on sublanes); recover one value per dst node
+        m_t = m_t.transpose(0, 2, 1, 3).reshape(B, H, -1, 1)[:, :, :Nl]
+        l_t = l_t.transpose(0, 2, 1, 3).reshape(B, H, -1, 1)[:, :, :Nl]
 
         # exact flash merge of this step's partial softmax
         new_m = jnp.maximum(m, m_t)
@@ -180,8 +180,9 @@ def _ring_bwd_body(q, k, v, g, out, m, l, a_bank, b_bank, ctile_src,
     ctile_dst = ctile_dst[:, 0]
     ctile_rel_src = ctile_rel_src[:, 0]
     # compact node-per-lane stat layout the tile backward consumes
-    m_c = m.reshape(B, H, -1, 128)
-    l_c = l.reshape(B, H, -1, 128)
+    # ([B, Tdl, H, 128]: tile rows on lanes, heads on sublanes)
+    m_c = m.reshape(B, H, -1, 128).transpose(0, 2, 1, 3)
+    l_c = l.reshape(B, H, -1, 128).transpose(0, 2, 1, 3)
     g32 = g.astype(f32)
 
     dq = jnp.zeros((B, H, Nl, D), f32)

@@ -71,7 +71,11 @@ def parse_args(argv=None):
                    choices=["xla", "pallas", "pallas_interpret",
                             "pallas_local", "pallas_local_interpret",
                             "sparse", "block_sparse",
-                            "block_sparse_interpret"])
+                            "block_sparse_interpret",
+                            "auto", "auto_interpret"],
+                   help="'auto' picks the global-bank or localized Pallas "
+                        "kernel PER BATCH from the bank shapes (the best "
+                        "impl is bucket-dependent)")
     p.add_argument("--sparse_khop", type=int, default=0,
                    help="sparse encoder: keep pairs within k path labels "
                         "(0 = all pairs); only with --attention_impl "
@@ -122,6 +126,10 @@ def parse_args(argv=None):
     p.add_argument("--max_inflight", type=int, default=2,
                    help="dispatched steps outstanding before the host "
                         "reads a loss back (0 = sync every step)")
+    p.add_argument("--batchify_workers", type=int, default=2,
+                   help="host threads packing batches in parallel (the "
+                        "heavy numpy passes release the GIL); 0/1 = "
+                        "serial. Output order is identical either way")
 
     if pre_args.config:
         import json
@@ -181,10 +189,20 @@ def make_dev_bleu_fn(model, tv, cv, rv, chv, lm, dev_instances, dl_kw):
                        if k != "batch_multiple"})
 
     def dev_bleu(params) -> float:
+        import dataclasses as _dc
+
         import sacrebleu
+
+        from gtos_tpu.models import Generator
+        from gtos_tpu.models.generator import resolve_attention_impl
         hyps, refs = [], []
         for batch, group in dl.iter_with_instances():
-            out = decode_batch(model, params, batch, tv, beam_size=1,
+            m = model
+            if model.cfg.attention_impl.startswith("auto"):
+                impl = resolve_attention_impl(model.cfg.attention_impl,
+                                              batch.arrays())
+                m = Generator(_dc.replace(model.cfg, attention_impl=impl))
+            out = decode_batch(m, params, batch, tv, beam_size=1,
                                max_steps=64, alpha=0.0)
             for hyp, inst in zip(out, group):
                 hyps.append(" ".join(hyp))
@@ -296,7 +314,8 @@ def main(argv=None):
                  build_block_tiles=args.attention_impl.startswith(
                      "block_sparse"),
                  build_local_banks=args.attention_impl.startswith(
-                     "pallas_local"))
+                     ("pallas_local", "auto")),
+                 workers=args.batchify_workers)
     instances = preprocess(graphs, targets, path_cfg)
     dev_instances = preprocess(dev_graphs, dev_targets, path_cfg)
     dl = DataLoader(instances, tv, cv, rv, chv, lm,

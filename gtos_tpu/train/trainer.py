@@ -124,9 +124,26 @@ class Trainer:
             "the DataLoader's BucketSpec.max_oov must equal "
             "ModelConfig.max_oov (use BucketSpec.for_model_max_oov)")
         self.tx = make_optimizer(train_cfg, model_cfg.d_model)
-        self.state = init_state(model, self.tx, example_arrays,
+        # attention_impl='auto': the best kernel is bucket-dependent
+        # (benchmarks/train_step.json shows 6x regret for a pinned choice
+        # at the wrong bucket), so train/eval steps are built lazily per
+        # RESOLVED impl and dispatched per batch. All impls share one
+        # parameter tree (the per-layer projections are identical), so the
+        # TrainState moves freely between them.
+        self._auto = model_cfg.attention_impl.startswith("auto")
+        if self._auto:
+            assert mesh is None, (
+                "attention_impl='auto' dispatch is single-device/DP-free "
+                "for now; pin an impl for mesh runs")
+            init_model = self._model_for(
+                self._resolve(example_arrays))
+        else:
+            init_model = model
+        self.state = init_state(init_model, self.tx, example_arrays,
                                 train_cfg.seed)
         self.mesh = mesh
+        self._steps: Dict[str, Callable] = {}
+        self._eval_steps: Dict[str, Callable] = {}
         if mesh is not None:
             from gtos_tpu.parallel.train import make_sharded_train_step
             self.train_step = make_sharded_train_step(
@@ -136,9 +153,9 @@ class Trainer:
             if mesh.shape.get("model", 1) > 1:
                 from gtos_tpu.parallel.tensor_parallel import shard_state
                 self.state = shard_state(mesh, self.state)
-        else:
+        elif not self._auto:
             self.train_step = make_train_step(model, self.tx)
-        self.eval_step = make_eval_step(model)
+        self.eval_step = make_eval_step(model) if not self._auto else None
         self.metrics = metrics_writer
         self.ckpt = checkpoint_manager
         self._resume_cursor = None
@@ -152,6 +169,35 @@ class Trainer:
         # alternates host batchify and device step, SURVEY.md §3.2)
         self.prefetch = prefetch
         self.max_inflight = max_inflight
+
+    def _resolve(self, arrays) -> str:
+        from gtos_tpu.models.generator import resolve_attention_impl
+        return resolve_attention_impl(self.model_cfg.attention_impl, arrays)
+
+    def _model_for(self, impl: str) -> Generator:
+        if impl == self.model_cfg.attention_impl:
+            return self.model
+        cfg = dataclasses.replace(self.model_cfg, attention_impl=impl)
+        return Generator(cfg, cp_mesh=self.model.cp_mesh,
+                         cp_axis=self.model.cp_axis)
+
+    def _step_for(self, raw) -> Callable:
+        """The train step for this batch (per-impl cache under 'auto')."""
+        if not self._auto:
+            return self.train_step
+        impl = self._resolve(raw)
+        if impl not in self._steps:
+            self._steps[impl] = make_train_step(self._model_for(impl),
+                                                self.tx)
+        return self._steps[impl]
+
+    def _eval_step_for(self, raw) -> Callable:
+        if not self._auto:
+            return self.eval_step
+        impl = self._resolve(raw)
+        if impl not in self._eval_steps:
+            self._eval_steps[impl] = make_eval_step(self._model_for(impl))
+        return self._eval_steps[impl]
 
     def _put(self, arrays):
         if self.mesh is None:
@@ -227,7 +273,8 @@ class Trainer:
             for raw, arrays in prefetch_iter(src, self._prep,
                                              depth=self.prefetch):
                 batch_idx += 1
-                self.state, metrics = self.train_step(self.state, arrays)
+                self.state, metrics = self._step_for(raw)(self.state,
+                                                          arrays)
                 step += 1
                 pending.append((step, metrics))
                 timer.step(n_tokens=int(raw["token_mask"].sum()),
@@ -273,7 +320,8 @@ class Trainer:
     def evaluate(self, dev_loader) -> Dict[str, float]:
         tot_loss, tot_tok, tot_acc = 0.0, 0.0, 0.0
         for batch in dev_loader:
-            m = self.eval_step(self.state.params, batch.arrays())
+            m = self._eval_step_for(batch.arrays())(
+                self.state.params, batch.arrays())
             n = float(m["n_tok"])
             tot_loss += float(m["loss"]) * n
             tot_acc += float(m["acc"]) * n

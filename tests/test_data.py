@@ -131,3 +131,19 @@ def test_bank_overflow_is_typed_and_bisected():
     total = sum(len(b.oov_lists) for b in dl)
     assert total == len(instances)  # every instance survives the bisect
     assert got >= 2                 # and the group actually split
+
+
+def test_dataloader_parallel_workers_identical():
+    """workers=N yields bit-identical batches in the same order as the
+    serial path (VERDICT r3 next #7 — parallel host batchify)."""
+    import numpy as np
+
+    graphs, targets, (tv, cv, rv, chv, lm), instances = _tiny_setup(n=32)
+    kw = dict(batch_size_tokens=256, for_train=True, seed=7)
+    serial = list(DataLoader(instances, tv, cv, rv, chv, lm, **kw))
+    parallel = list(DataLoader(instances, tv, cv, rv, chv, lm,
+                               workers=4, **kw))
+    assert len(serial) == len(parallel)
+    for a, b in zip(serial, parallel):
+        for k, va in a.arrays().items():
+            np.testing.assert_array_equal(va, b.arrays()[k], err_msg=k)
