@@ -64,8 +64,12 @@ class BucketSpec:
     bank: Tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096)
     # per-graph local-bank ladder (build_local_banks=True); realistic AMR
     # graphs reference a few hundred distinct paths each even when the
-    # batch-global bank runs to thousands
-    local_bank: Tuple[int, ...] = (128, 256, 512, 1024, 2048, 4096)
+    # batch-global bank runs to thousands. Dense rungs around the measured
+    # 400-700-width mode (VERDICT r3 next #4a): the localized kernel's
+    # VPU work scales with P_loc/128 chunks, so a 640-wide batch must not
+    # pay the 1024 bucket
+    local_bank: Tuple[int, ...] = (128, 256, 384, 512, 640, 768, 896,
+                                   1024, 1280, 1536, 2048, 4096)
     path_len: Tuple[int, ...] = (2, 4, 8)
     chars: Tuple[int, ...] = (8, 16, 24)
     # hard cap on per-instance copyable OOVs; MUST equal the model's

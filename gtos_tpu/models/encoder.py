@@ -121,10 +121,15 @@ class RelationEncoder(nn.Module):
                        name="rel_embed")(bank)            # [P,L,e]
         emb = nn.Dropout(self.dropout)(emb, deterministic=deterministic)
 
-        # flax lifted scan: params broadcast across time steps
+        # flax lifted scan: params broadcast across time steps. Path
+        # buckets cap L at 8, so the scan FULLY UNROLLS: XLA fuses the
+        # tiny per-step matmuls and, crucially, differentiates straight
+        # code instead of a reverse scan (the scan backward measured
+        # ~8x its forward at the dominant bucket — r4 breakdown).
         ScanGRU = nn.scan(
             _MaskedGRUStep, variable_broadcast="params",
-            split_rngs={"params": False}, in_axes=0, out_axes=0)
+            split_rngs={"params": False}, in_axes=0, out_axes=0,
+            unroll=L)
 
         h0 = jnp.zeros((P, self.hidden), dtype=self.dtype)
         steps = jnp.arange(L)

@@ -58,7 +58,14 @@ def _chunked_gather(table, hi, lo, n_chunks):
     Mosaic's dynamic_gather is a within-vreg lane shuffle (gather width
     <= 128), so the P_loc-wide lookup decomposes into chunk shuffles
     selected by the indices' high bits. hi/lo are precomputed once and
-    shared by both tables and all heads."""
+    shared by both tables and all heads.
+
+    Negative result, measured r4 on v5e: skipping per-graph inactive
+    chunks (slots are contiguous, so chunks >= ceil(bank_width/128) never
+    hit) behind per-chunk lax.conds was SLOWER than this static unroll
+    (fwd 0.42 vs 0.30 ms at P_loc=768) — branch overhead exceeds the
+    shuffle savings once the local_bank bucket ladder is dense. Keep the
+    loop static; attack chunk count via the ladder (BucketSpec)."""
     out = jnp.zeros(hi.shape, jnp.float32)
     for c in range(n_chunks):
         part = jnp.take_along_axis(
@@ -87,7 +94,8 @@ def _head_tables(q_ref, k_ref, ab_ref, bb_ref, t4_ref, h, Dh):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, ab_ref, bb_ref, t4_ref, idx_ref,
-                idxT_ref, mask_ref, out_ref, probs_ref=None, *, scale, Dh):
+                idxT_ref, mask_ref, out_ref, probs_ref=None, *,
+                scale, Dh):
     """One program per graph b. q/k/v: [H, N, Dpad] VMEM (lane-padded);
     ab/bb: [P_loc, H*Dh] VMEM (this graph's localized banks, projection
     layout); t4: [H, P_loc] f32; idx/idxT: [N, Nc]; mask: [1, 1, Nc].
@@ -161,15 +169,18 @@ def _prep(q, k, v, a_loc, b_loc, rel_index_loc, node_mask):
 
 
 def _specs(B, H, N, Dh, P_loc, Dh_pad, Nc):
-    qkv = pl.BlockSpec((1, H, N, Dh_pad), lambda b: (b, 0, 0, 0),
+    # index maps take (b, *prefetch_refs): the widths array rides as a
+    # scalar-prefetch operand (SMEM blocks are bound by the same 8/128
+    # block-tail rule as VMEM, so a (1, 1) SMEM block is not lowerable)
+    qkv = pl.BlockSpec((1, H, N, Dh_pad), lambda b, *_: (b, 0, 0, 0),
                        memory_space=pltpu.VMEM)
-    bank = pl.BlockSpec((1, P_loc, H * Dh), lambda b: (b, 0, 0),
+    bank = pl.BlockSpec((1, P_loc, H * Dh), lambda b, *_: (b, 0, 0),
                         memory_space=pltpu.VMEM)
-    t4s = pl.BlockSpec((1, H, P_loc), lambda b: (b, 0, 0),
+    t4s = pl.BlockSpec((1, H, P_loc), lambda b, *_: (b, 0, 0),
                        memory_space=pltpu.VMEM)
-    idxs = pl.BlockSpec((1, N, Nc), lambda b: (b, 0, 0),
+    idxs = pl.BlockSpec((1, N, Nc), lambda b, *_: (b, 0, 0),
                         memory_space=pltpu.VMEM)
-    msk = pl.BlockSpec((1, 1, Nc), lambda b: (b, 0, 0),
+    msk = pl.BlockSpec((1, 1, Nc), lambda b, *_: (b, 0, 0),
                        memory_space=pltpu.VMEM)
     return qkv, bank, t4s, idxs, msk
 
@@ -201,15 +212,15 @@ def local_relation_attention(q, k, v, a_loc, b_loc, rel_index_loc,
     qkv, bank, t4s, idxs, msk = _specs(B, H, N, Dh, P_loc, Dh_pad, Nc)
 
     if with_probs:
-        prob_spec = pl.BlockSpec((1, H, N, Nc), lambda b: (b, 0, 0, 0),
+        prob_spec = pl.BlockSpec((1, H, N, Nc), lambda b, *_: (b, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
 
         def kernel_p(q_r, k_r, v_r, ab_r, bb_r, t4_r, idx_r, idxT_r,
                      mask_r, out_r, probs_r):
             _fwd_kernel(q_r.at[0], k_r.at[0], v_r.at[0], ab_r.at[0],
                         bb_r.at[0], t4_r.at[0], idx_r.at[0], idxT_r.at[0],
-                        mask_r, out_r.at[0], probs_r.at[0], scale=scale,
-                        Dh=Dh)
+                        mask_r, out_r.at[0], probs_r.at[0],
+                        scale=scale, Dh=Dh)
 
         out, probs = pl.pallas_call(
             kernel_p,
@@ -257,7 +268,8 @@ def _sorted_scatter(ge_pad, sort_idx, bnd, start, n_chunks, tri, N):
     out[i, p] = S[i, end-1] - S[i, start-1]  (S[-1] := 0)
     with end = bnd[i, p] (host-precomputed inclusive boundary counts) and
     start = bnd[i, p-1] (lane-rolled once per graph). Returns
-    [N, P_loc] f32."""
+    [N, P_loc] f32. (Per-graph chunk skipping was measured slower — see
+    _chunked_gather's negative-result note.)"""
     sge = jnp.take_along_axis(ge_pad, sort_idx, axis=1,
                               mode="promise_in_bounds")
     # pad columns (>= N) may gather real values through the padded sort
@@ -283,8 +295,8 @@ def _sorted_scatter(ge_pad, sort_idx, bnd, start, n_chunks, tri, N):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, probs_ref, ab_ref, bb_ref,
-                sort_ref, sortT_ref, bnd_ref, bndT_ref, gq_ref, gk_ref,
-                gv_ref, gab_ref, gbb_ref, *, scale, Dh):
+                sort_ref, sortT_ref, bnd_ref, bndT_ref, gq_ref,
+                gk_ref, gv_ref, gab_ref, gbb_ref, *, scale, Dh):
     """One program per graph. The forward's attention probs arrive as a
     residual ([H, N, Nc] f32 — tiny at N <= 128), so there is NO
     table-rebuild/gather recompute here: softmax VJP, content grads, the
@@ -327,7 +339,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, go_ref, probs_ref, ab_ref, bb_ref,
         geT_pad = _pad_lane(ge.T, Nc)
 
         # sorted-scatter: table grads, then their contractions on the MXU
-        g_t2 = _sorted_scatter(ge_pad, sort_i, bnd, start, n_chunks, tri, N)
+        g_t2 = _sorted_scatter(ge_pad, sort_i, bnd, start, n_chunks, tri,
+                               N)
         g_t3 = _sorted_scatter(geT_pad, sortT_i, bndT, startT, n_chunks,
                                tri, N)                        # [N, P_loc]
 
@@ -395,24 +408,24 @@ def local_relation_attention_bwd(q, k, v, g_out, probs, a_loc, b_loc,
     sort_p = _pad_lane(rel_sort, Nc)
     sortT_p = _pad_lane(rel_sortT, Nc)
     qkv, bank, _t4s, idxs, _msk = _specs(B, H, N, Dh, P_loc, Dh_pad, Nc)
-    prob_spec = pl.BlockSpec((1, H, N, Nc), lambda b: (b, 0, 0, 0),
+    prob_spec = pl.BlockSpec((1, H, N, Nc), lambda b, *_: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    bnd_spec = pl.BlockSpec((1, N, P_loc), lambda b: (b, 0, 0),
+    bnd_spec = pl.BlockSpec((1, N, P_loc), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    def kernel(q_r, k_r, v_r, go_r, probs_r, ab_r, bb_r, sort_r, sortT_r,
-               bnd_r, bndT_r, gq_r, gk_r, gv_r, gab_r, gbb_r):
+    def kernel(q_r, k_r, v_r, go_r, probs_r, ab_r, bb_r, sort_r,
+               sortT_r, bnd_r, bndT_r, gq_r, gk_r, gv_r, gab_r, gbb_r):
         _bwd_kernel(q_r.at[0], k_r.at[0], v_r.at[0], go_r.at[0],
                     probs_r.at[0], ab_r.at[0], bb_r.at[0], sort_r.at[0],
-                    sortT_r.at[0], bnd_r.at[0], bndT_r.at[0], gq_r.at[0],
-                    gk_r.at[0], gv_r.at[0], gab_r.at[0], gbb_r.at[0],
-                    scale=scale, Dh=Dh)
+                    sortT_r.at[0], bnd_r.at[0], bndT_r.at[0],
+                    gq_r.at[0], gk_r.at[0], gv_r.at[0], gab_r.at[0],
+                    gbb_r.at[0], scale=scale, Dh=Dh)
 
     gq, gk, gv, gab, gbb = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[qkv, qkv, qkv, qkv, prob_spec, bank, bank, idxs, idxs,
-                  bnd_spec, bnd_spec],
+        in_specs=[qkv, qkv, qkv, qkv, prob_spec, bank, bank, idxs,
+                  idxs, bnd_spec, bnd_spec],
         out_specs=(qkv, qkv, qkv, bank, bank),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, N, Dh_pad), f32),
@@ -423,7 +436,8 @@ def local_relation_attention_bwd(q, k, v, g_out, probs, a_loc, b_loc,
         ),
         compiler_params=_VMEM,
         interpret=interpret,
-    )(qp, kp, vp, gop, probs, ab, bb, sort_p, sortT_p, rel_bnd, rel_bndT)
+    )(qp, kp, vp, gop, probs, ab, bb, sort_p, sortT_p, rel_bnd,
+      rel_bndT)
     return gq[..., :Dh], gk[..., :Dh], gv[..., :Dh], gab, gbb
 
 

@@ -179,14 +179,29 @@ def load_synthetic(task: str, n: int):
 def make_dev_bleu_fn(model, tv, cv, rv, chv, lm, dev_instances, dl_kw):
     """params -> corpus BLEU of greedy decode on (a capped slice of) the
     dev set — the training-time quality signal the reference gets from its
-    periodic dev eval + external BLEU scripts (SURVEY.md §4)."""
+    periodic dev eval + external BLEU scripts (SURVEY.md §4).
+
+    Multi-host: dev INSTANCES are sharded per process (host-sharded
+    batchify rows would leave foreign rows zero-filled and score garbage
+    hypotheses — VERDICT r3 weak #5); each host decodes only its own
+    instances fully, and the BLEU sufficient statistics (n-gram
+    correct/total counts + lengths, which are additive) are allgathered
+    and summed before scoring, so every host reports the exact full-set
+    corpus BLEU."""
+    import jax as _jax
+
     from gtos_tpu.data.dataloader import DataLoader
     from gtos_tpu.infer.decode import decode_batch
 
-    dl = DataLoader(dev_instances, tv, cv, rv, chv, lm,
+    n_hosts = _jax.process_count()
+    rank = _jax.process_index()
+    local_instances = (dev_instances[rank::n_hosts] if n_hosts > 1
+                       else dev_instances)
+    dl = DataLoader(local_instances, tv, cv, rv, chv, lm,
                     batch_size_tokens=2048, for_train=False,
                     **{k: v for k, v in dl_kw.items()
-                       if k != "batch_multiple"})
+                       if k not in ("batch_multiple", "host_rank",
+                                    "host_count")})
 
     def dev_bleu(params) -> float:
         import dataclasses as _dc
@@ -207,7 +222,24 @@ def make_dev_bleu_fn(model, tv, cv, rv, chv, lm, dev_instances, dl_kw):
             for hyp, inst in zip(out, group):
                 hyps.append(" ".join(hyp))
                 refs.append(" ".join(inst.target))
-        return sacrebleu.corpus_bleu(hyps, [refs]).score
+        if n_hosts == 1:
+            return sacrebleu.corpus_bleu(hyps, [refs]).score
+        # additive sufficient statistics -> exact full-set corpus BLEU
+        import numpy as _np
+        from jax.experimental import multihost_utils
+        from sacrebleu.metrics import BLEU
+        if hyps:
+            b = sacrebleu.corpus_bleu(hyps, [refs])
+            stats = _np.array(list(b.counts) + list(b.totals)
+                              + [b.sys_len, b.ref_len], _np.int64)
+        else:
+            stats = _np.zeros(10, _np.int64)
+        agg = _np.asarray(
+            multihost_utils.process_allgather(stats)).sum(axis=0)
+        return BLEU.compute_bleu(
+            correct=agg[:4].tolist(), total=agg[4:8].tolist(),
+            sys_len=int(agg[8]), ref_len=int(agg[9]),
+            smooth_method="exp").score
 
     return dev_bleu
 

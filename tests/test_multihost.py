@@ -203,7 +203,46 @@ step = make_sharded_train_step(model, tx, mesh, arrays, example_state=state)
 state, metrics = step(state, shard_arrays(mesh, arrays))
 loss = float(metrics["loss"])
 assert np.isfinite(loss), loss
-print(f"proc{proc} OK {out} loss={loss:.6f}", flush=True)
+
+# --- multi-host EVAL (VERDICT r3 weak #5): the sharded eval step over a
+# host-sharded dev batch must equal a local single-process evaluation of
+# the SAME full batch with the same params ---
+from gtos_tpu.parallel.train import make_sharded_eval_step
+dev_dl = DataLoader(instances, tv, cv, rv, chv, lm, batch_size_tokens=10**6,
+                    for_train=False, seed=3, batch_multiple=4,
+                    host_rank=proc, host_count=2)
+dev_b = next(iter(dev_dl))
+eval_step = make_sharded_eval_step(model, mesh)
+m = eval_step(state.params, shard_arrays(mesh, dev_b.arrays()))
+dev_loss = float(m["loss"])
+host_params = jax.tree_util.tree_map(lambda x: np.asarray(x), state.params)
+full_dl = DataLoader(instances, tv, cv, rv, chv, lm,
+                     batch_size_tokens=10**6, for_train=False, seed=3,
+                     batch_multiple=4)
+full_b = next(iter(full_dl))
+exp_loss = float(model.apply(host_params, full_b.arrays(),
+                             deterministic=True)[1]["loss"])
+assert abs(dev_loss - exp_loss) < 1e-4, (dev_loss, exp_loss)
+
+# --- multi-host dev BLEU: instance-sharded decode + allgathered BLEU
+# sufficient statistics == full-set corpus BLEU computed locally ---
+import sacrebleu
+from gtos_tpu.infer.decode import decode_batch
+from gtos_tpu.train.train import make_dev_bleu_fn
+bleu_fn = make_dev_bleu_fn(model, tv, cv, rv, chv, lm, instances, {})
+agg_bleu = float(bleu_fn(host_params))  # one allgather on BOTH procs
+ref_dl = DataLoader(instances, tv, cv, rv, chv, lm, batch_size_tokens=2048,
+                    for_train=False)
+hyps, refs = [], []
+for b, grp in ref_dl.iter_with_instances():
+    o = decode_batch(model, host_params, b, tv, beam_size=1, max_steps=64,
+                     alpha=0.0)
+    for h, inst in zip(o, grp):
+        hyps.append(" ".join(h)); refs.append(" ".join(inst.target))
+full_bleu = sacrebleu.corpus_bleu(hyps, [refs]).score
+assert abs(agg_bleu - full_bleu) < 1e-6, (agg_bleu, full_bleu)
+print(f"proc{proc} OK {out} loss={loss:.6f} dev={dev_loss:.6f} "
+      f"bleu={agg_bleu:.4f}", flush=True)
 """
 
 
@@ -228,7 +267,7 @@ def test_two_process_distributed_cpu(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=420)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
