@@ -84,13 +84,14 @@ def main():
     open_starts = {}
     pairs = []
     for i, ln in enumerate(lines):
-        m = re.match(r"\s*%?([\w.\-]+)\s*=\s*\S+\s+collective-permute-start\(",
+        # `%name = (tuple type with spaces) collective-permute-start(...)`
+        m = re.match(r"\s*%?([\w.\-]+)\s*=\s*.*collective-permute-start\(",
                      ln)
-        if m:
+        if m and "collective-permute-done" not in ln:
             open_starts[m.group(1)] = i
             continue
-        m = re.search(r"collective-permute-done\(\s*(?:\S+\s+)?%?([\w.\-]+)",
-                      ln)
+        m = re.search(
+            r"collective-permute-done\(\s*(?:[^%)\s]+\s+)?%?([\w.\-]+)", ln)
         if m and m.group(1) in open_starts:
             pairs.append((open_starts.pop(m.group(1)), i))
 

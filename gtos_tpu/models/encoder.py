@@ -117,8 +117,16 @@ class RelationEncoder(nn.Module):
     @nn.compact
     def __call__(self, bank, lengths, deterministic: bool = True):
         P, L = bank.shape
-        emb = nn.Embed(self.relation_vocab, self.emb_dim, dtype=self.dtype,
-                       name="rel_embed")(bank)            # [P,L,e]
+        embed = nn.Embed(self.relation_vocab, self.emb_dim,
+                         dtype=self.dtype, name="rel_embed")
+        # one-hot MXU matmul instead of a row gather: the relation-label
+        # vocab is small (a few hundred roles), so [P*L, V] @ [V, e] is
+        # trivial MXU work — and its VJP is another matmul, replacing the
+        # serialized scatter-add of P*L rows into the tiny table that
+        # dominated the GRU backward (r4 breakdown). Params identical.
+        one_hot = jax.nn.one_hot(bank, self.relation_vocab,
+                                 dtype=self.dtype)
+        emb = one_hot @ embed.embedding.astype(self.dtype)  # [P,L,e]
         emb = nn.Dropout(self.dropout)(emb, deterministic=deterministic)
 
         # flax lifted scan: params broadcast across time steps. Path

@@ -107,7 +107,7 @@ class RelationMultiheadAttention(nn.Module):
             f"impl={self.impl!r} needs localized-bank arrays "
             "(batchify build_local_banks=True)")
         from gtos_tpu.ops.pallas.local_relation_attention import (
-            local_relation_attention,
+            local_relation_attention_fwd_only,
             local_relation_attention_trainable,
         )
         interp = self.impl.endswith("_interpret")
@@ -116,11 +116,11 @@ class RelationMultiheadAttention(nn.Module):
                 q, k, v, a_loc, b_loc, edges["rel_index_loc"], node_mask,
                 edges["rel_sort"], edges["rel_bnd"], edges["rel_sortT"],
                 edges["rel_bndT"], interpret=interp)
-        # inference batches ship no sorted-scatter auxiliaries;
-        # forward-only kernel (not differentiable)
-        return local_relation_attention(
-            q, k, v, a_loc, b_loc, edges["rel_index_loc"], node_mask,
-            interpret=interp)
+        # inference batches ship no sorted-scatter auxiliaries; the
+        # forward-only entry raises a TYPED message if differentiated
+        return local_relation_attention_fwd_only(
+            interp, q, k, v, a_loc, b_loc, edges["rel_index_loc"],
+            node_mask)
 
     def _sparse(self, q, k, v, a_bank, b_bank, edges: EdgeDict):
         # edge cells are absent when only the tile layouts were built

@@ -174,3 +174,25 @@ def test_inference_batch_forward_only():
         arrays, deterministic=True)
     loss, metrics = model.apply(params, arrays, deterministic=True)
     assert np.isfinite(float(loss))
+
+
+def test_fwd_only_grad_raises_typed_error():
+    """Differentiating the inference (fwd-only) localized path raises a
+    typed message, not an opaque Pallas failure (VERDICT r3 weak #9)."""
+    from gtos_tpu.ops.pallas.local_relation_attention import (
+        local_relation_attention_fwd_only,
+    )
+
+    (q, k, v, a_bank, b_bank, rel_index, mask, bank_map, idx_loc,
+     *_aux) = build_case(2, 2, 32, 16, 200, 128)
+
+    def loss(q):
+        o = local_relation_attention_fwd_only(
+            True, q, k, v, a_bank[bank_map], b_bank[bank_map], idx_loc,
+            mask)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    # forward works
+    assert np.isfinite(float(loss(q)))
+    with pytest.raises(TypeError, match="for_train=True"):
+        jax.grad(loss)(q)
