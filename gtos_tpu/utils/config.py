@@ -46,10 +46,18 @@ class ModelConfig:
     # numerics: params stay f32; activations in compute_dtype
     compute_dtype: str = "float32"
     max_target_len: int = 128
-    # encoder attention implementation: "xla" (pure-JAX bank decomposition),
-    # "pallas" (fused TPU kernel), "pallas_interpret" (kernel under the
-    # interpreter, for CPU tests), "sparse" (O(E) edge-list attention;
-    # context-parallel over the mesh 'graph' axis when one is wired in)
+    # encoder attention implementation:
+    #   "xla"          pure-JAX bank decomposition (portable baseline)
+    #   "pallas"       fused global-bank TPU kernel
+    #   "pallas_local" fused LOCALIZED per-graph-bank kernel (fastest
+    #                  measured at every bucket so far)
+    #   "auto"         resolve pallas vs pallas_local PER BATCH from the
+    #                  bank shapes (models/generator.resolve_attention_impl)
+    #   "sparse"       O(E) edge-list attention; context-parallel over the
+    #                  mesh 'graph' axis when one is wired in
+    #   "block_sparse" Pallas 128x128-tile kernel; composes with the ring
+    #                  CP schedule (the composed flagship)
+    #   *_interpret    same kernels under the Pallas interpreter (CPU tests)
     attention_impl: str = "xla"
     # sparse mode: keep node pairs whose shortest path has <= k labels
     # (0 = all pairs, exact dense parity). Stored in the model config so
