@@ -72,11 +72,23 @@ def main(argv=None):
     # and no optimizer-moment bytes are read (the params item is separate in
     # the checkpoint; the reference's work.py likewise reloads only the
     # model state_dict, SURVEY.md §3.5).
+    import dataclasses
+
     import jax
+
+    from gtos_tpu.models.generator import resolve_attention_impl
     first = next(iter(dl))
     ckpt = CheckpointManager(args.ckpt_dir, model_cfg)
     first_arrays = first.arrays()
-    abstract_params = jax.eval_shape(lambda: model.init(
+    # 'auto' must be resolved before any model.apply; the parameter tree
+    # is identical across kernels, so any resolved impl is a valid
+    # eval_shape template
+    tmpl_model = model
+    if model_cfg.attention_impl.startswith("auto"):
+        tmpl_model = Generator(dataclasses.replace(
+            model_cfg, attention_impl=resolve_attention_impl(
+                model_cfg.attention_impl, first_arrays)))
+    abstract_params = jax.eval_shape(lambda: tmpl_model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         first_arrays, deterministic=True))
     params = ckpt.restore_params(abstract_params)
@@ -88,9 +100,6 @@ def main(argv=None):
     # the output file (the reference's work.py contract)
     from gtos_tpu.data.postprocess import join_bpe, postprocess_hypothesis
     results = []  # (orig_index, hypothesis line, reference line)
-    import dataclasses
-
-    from gtos_tpu.models.generator import resolve_attention_impl
     for batch, group in dl.iter_with_instances():
         dec_model = model
         if model_cfg.attention_impl.startswith("auto"):

@@ -134,3 +134,26 @@ def test_train_resume(tmp_path):
     last = train_main(["--task", "amr", "--synthetic", "16",
                        "--ckpt_dir", ckpt, "--resume"] + args)
     assert last["step"] == 90
+
+
+def test_train_work_auto_impl(tmp_path):
+    """--attention_impl auto end to end: per-batch kernel resolution in
+    both the Trainer and the work.py decode path (VERDICT r3 next #6)."""
+    ckpt = str(tmp_path / "ckpt")
+    args = list(_FAST)
+    args[args.index("--total_steps") + 1] = "6"
+    args[args.index("--eval_every") + 1] = "6"
+    args[args.index("--checkpoint_every") + 1] = "6"
+    last = train_main(["--task", "amr", "--synthetic", "8",
+                       "--ckpt_dir", ckpt,
+                       "--attention_impl", "auto_interpret"] + args)
+    assert last["step"] == 6
+    test_file = str(tmp_path / "test.amr")
+    _write_amr_testset(test_file)
+    out = str(tmp_path / "out.txt")
+    score = work_main(["--ckpt_dir", ckpt, "--task", "amr",
+                       "--test_data", test_file, "--output", out,
+                       "--beam_size", "1", "--max_time_step", "10",
+                       "--eval_bleu"])
+    assert os.path.exists(out)
+    assert score is not None and score >= 0.0
