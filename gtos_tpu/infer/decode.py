@@ -75,7 +75,18 @@ def decode_batch(
 
     token_vocab: the target-side Vocab — supplies the id->string table and
     the STR/END/UNK special ids (previously hardcoded; VERDICT r1 weak #7).
-    """
+
+    attention_impl='auto' is resolved HERE per batch (one place for every
+    decode caller — work.py, the dev-BLEU hook, user scripts)."""
+    if model.cfg.attention_impl.startswith("auto"):
+        import dataclasses
+
+        from gtos_tpu.models.generator import resolve_attention_impl
+        impl = resolve_attention_impl(model.cfg.attention_impl,
+                                      batch.arrays())
+        model = Generator(dataclasses.replace(model.cfg,
+                                              attention_impl=impl),
+                          cp_mesh=model.cp_mesh, cp_axis=model.cp_axis)
     res = beam_decode_arrays(
         model, params, batch.arrays(), beam_size=beam_size,
         max_steps=max_steps, alpha=alpha, str_id=token_vocab.str_id,

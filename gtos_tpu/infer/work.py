@@ -101,13 +101,8 @@ def main(argv=None):
     from gtos_tpu.data.postprocess import join_bpe, postprocess_hypothesis
     results = []  # (orig_index, hypothesis line, reference line)
     for batch, group in dl.iter_with_instances():
-        dec_model = model
-        if model_cfg.attention_impl.startswith("auto"):
-            impl = resolve_attention_impl(model_cfg.attention_impl,
-                                          batch.arrays())
-            dec_model = Generator(dataclasses.replace(
-                model_cfg, attention_impl=impl))
-        hyps = decode_batch(dec_model, params, batch, tv,
+        # decode_batch resolves attention_impl='auto' per batch
+        hyps = decode_batch(model, params, batch, tv,
                             beam_size=args.beam_size,
                             max_steps=args.max_time_step, alpha=args.alpha)
         for hyp, inst in zip(hyps, group):

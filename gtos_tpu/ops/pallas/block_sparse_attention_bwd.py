@@ -214,50 +214,31 @@ def _bwd_src_kernel(tile_dst_ref, k_ref, v_ref, q_ref, g_ref, m_ref, l_ref,
             gab_ref[h] += _dot(gt3, k_ref[0, h], (((0,), (0,))), dt)
 
 
-def _prep(q, k, v, a_bank, b_bank):
-    """The forward's augmented padding (shared contract): q gets a 1-lane
-    at Dh, b_bank carries t4 = a.b in that lane; everything lane-padded."""
+def prep_bwd_invariants(q, g, out, a_bank, b_bank, Td):
+    """Everything in the backward that does NOT depend on (k, v, tiles):
+    padded q/g, the compact delta = sum(g*out), and the
+    transposed/padded/t4-augmented banks.
+
+    Callers that run the tile backward repeatedly against rotating (k, v)
+    and per-step tile layouts (the fused ring backward,
+    parallel/ring_block_sparse.py) hoist this out of the ring loop — the
+    bank re-pack alone is ~P_pad*H*Dh_pad*2 banks of HBM traffic per call
+    (ADVICE r4)."""
     B, H, N, Dh = q.shape
-    P = a_bank.shape[0]
     f32 = jnp.float32
+    dt = q.dtype
+    N_pad = Td * T
     Dh_pad = -(-(Dh + 1) // 128) * 128
+    P = a_bank.shape[0]
     P_pad = -(-P // 128) * 128
     t4 = jnp.einsum("phd,phd->ph", a_bank.astype(f32), b_bank.astype(f32))
-    qp = jnp.pad(q, [(0, 0)] * 3 + [(0, Dh_pad - Dh)])
+    qp = jnp.pad(q, [(0, 0), (0, 0), (0, N_pad - N), (0, Dh_pad - Dh)])
     qp = qp.at[..., Dh].set(1.0)
-    kp = jnp.pad(k, [(0, 0)] * 3 + [(0, Dh_pad - Dh)])
-    vp = jnp.pad(v, [(0, 0)] * 3 + [(0, Dh_pad - Dh)])
     abT = jnp.pad(jnp.swapaxes(a_bank, 0, 1),
                   [(0, 0), (0, P_pad - P), (0, Dh_pad - Dh)])
     bbT = jnp.pad(jnp.swapaxes(b_bank, 0, 1),
                   [(0, 0), (0, P_pad - P), (0, Dh_pad - Dh)])
     bbT = bbT.at[:, :P, Dh].set(t4.T.astype(bbT.dtype))
-    return qp, kp, vp, abT, bbT, Dh_pad, P_pad
-
-
-@functools.partial(jax.jit, static_argnames=("interpret", "scale"))
-def block_sparse_attention_bwd(q, k, v, a_bank, b_bank, tile_src, tile_rel,
-                               tile_dst, tile_rel_src, out, m, l, g,
-                               interpret: bool = False, scale: float = None):
-    """-> (dq, dk, dv [B,H,N,Dh] in input dtypes, g_ab, g_bb [P,H,Dh] f32).
-
-    out: the forward's output [B,H,N,Dh]; m, l: the forward's softmax stats
-    ([B,Td,H,128] compact node-per-lane layout from with_stats=True);
-    g: cotangent [B,H,N,Dh] f32."""
-    B, H, N, Dh = q.shape
-    P = a_bank.shape[0]
-    if scale is None:
-        scale = Dh ** -0.5
-    f32 = jnp.float32
-    dt = q.dtype
-    Td, Smax_d = tile_src.shape[1], tile_src.shape[2]
-    Ts, Smax_s = tile_dst.shape[1], tile_dst.shape[2]
-    N_pad = Td * T
-
-    qp, kp, vp, abT, bbT, Dh_pad, P_pad = _prep(q, k, v, a_bank, b_bank)
-    if N_pad != N:
-        pad = [(0, 0), (0, 0), (0, N_pad - N), (0, 0)]
-        qp, kp, vp = (jnp.pad(x, pad) for x in (qp, kp, vp))
     gp = jnp.pad(g.astype(dt),
                  [(0, 0), (0, 0), (0, N_pad - N), (0, Dh_pad - Dh)])
     delta = jnp.sum(g.astype(f32) * out.astype(f32), axis=-1)   # [B,H,N]
@@ -265,6 +246,45 @@ def block_sparse_attention_bwd(q, k, v, a_bank, b_bank, tile_src, tile_rel,
     # compact stat layout: [B, Td, H, 128] (tile rows on lanes, heads on
     # sublanes — Td rides dim 1 so blocks keep legal 8/128 tails)
     delta = delta.reshape(B, H, Td, T).transpose(0, 2, 1, 3)
+    return qp, gp, delta, abT, bbT
+
+
+def pad_kv(k, v, Dh_pad, N_pad):
+    """Per-step padding of the (rotating) k/v block to the kernel layout."""
+    N, Dh = k.shape[2], k.shape[3]
+    pad = [(0, 0), (0, 0), (0, N_pad - N), (0, Dh_pad - Dh)]
+    return jnp.pad(k, pad), jnp.pad(v, pad)
+
+
+def finish_bank_grads(gabT, gbbT, a_bank, b_bank):
+    """Un-transpose the accumulated bank grads and redistribute the
+    augmented t4 lane: d a += d_t4 * b, d b += d_t4 * a. Run ONCE after
+    summing raw grads over ring steps."""
+    f32 = jnp.float32
+    P = a_bank.shape[0]
+    Dh = a_bank.shape[2]
+    dt4 = jnp.swapaxes(gbbT[:, :P, Dh], 0, 1)            # [P, H]
+    g_bb = (jnp.swapaxes(gbbT[:, :P, :Dh], 0, 1)
+            + dt4[..., None] * a_bank.astype(f32))
+    g_ab = (jnp.swapaxes(gabT[:, :P, :Dh], 0, 1)
+            + dt4[..., None] * b_bank.astype(f32))
+    return g_ab.astype(a_bank.dtype), g_bb.astype(b_bank.dtype)
+
+
+def block_sparse_attention_bwd_raw(qp, kp, vp, gp, m, l, delta, abT, bbT,
+                                   tile_src, tile_rel, tile_dst,
+                                   tile_rel_src, *, scale,
+                                   interpret: bool = False):
+    """The two Pallas passes on prepped/padded inputs.
+
+    Returns PADDED raw grads (dqp, dkp, dvp [B,H,N_pad,Dh_pad] f32,
+    gabT, gbbT [H,P_pad,Dh_pad] f32) — the caller slices/finishes (see
+    finish_bank_grads), which lets repeated callers defer the epilogue."""
+    B, H, N_pad, Dh_pad = qp.shape
+    f32 = jnp.float32
+    Td, Smax_d = tile_src.shape[1], tile_src.shape[2]
+    Ts, Smax_s = tile_dst.shape[1], tile_dst.shape[2]
+    P_pad = abT.shape[1]
 
     node_spec = lambda imap: pl.BlockSpec(  # noqa: E731
         (1, H, T, Dh_pad), imap, memory_space=pltpu.VMEM)
@@ -338,13 +358,33 @@ def block_sparse_attention_bwd(q, k, v, a_bank, b_bank, tile_src, tile_rel,
     )(jnp.maximum(tile_dst, 0), kp, vp, qp, gp, m, l, delta, abT, bbT,
       tile_rel_src)
 
+    return dqp, dkp, dvp, gabT, gbbT
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "scale"))
+def block_sparse_attention_bwd(q, k, v, a_bank, b_bank, tile_src, tile_rel,
+                               tile_dst, tile_rel_src, out, m, l, g,
+                               interpret: bool = False, scale: float = None):
+    """-> (dq, dk, dv [B,H,N,Dh] in input dtypes, g_ab, g_bb [P,H,Dh] f32).
+
+    out: the forward's output [B,H,N,Dh]; m, l: the forward's softmax stats
+    ([B,Td,H,128] compact node-per-lane layout from with_stats=True);
+    g: cotangent [B,H,N,Dh] f32."""
+    B, H, N, Dh = q.shape
+    if scale is None:
+        scale = Dh ** -0.5
+    Td = tile_src.shape[1]
+    N_pad = Td * T
+    Dh_pad = -(-(Dh + 1) // 128) * 128
+
+    qp, gp, delta, abT, bbT = prep_bwd_invariants(q, g, out, a_bank, b_bank,
+                                                  Td)
+    kp, vp = pad_kv(k, v, Dh_pad, N_pad)
+    dqp, dkp, dvp, gabT, gbbT = block_sparse_attention_bwd_raw(
+        qp, kp, vp, gp, m, l, delta, abT, bbT, tile_src, tile_rel,
+        tile_dst, tile_rel_src, scale=scale, interpret=interpret)
     dq = dqp[:, :, :N, :Dh].astype(q.dtype)
     dk = dkp[:, :, :N, :Dh].astype(k.dtype)
     dv = dvp[:, :, :N, :Dh].astype(v.dtype)
-    # bank grads: un-transpose + redistribute the augmented t4 lane
-    dt4 = jnp.swapaxes(gbbT[:, :P, Dh], 0, 1)            # [P, H]
-    g_bb = (jnp.swapaxes(gbbT[:, :P, :Dh], 0, 1)
-            + dt4[..., None] * a_bank.astype(f32))
-    g_ab = (jnp.swapaxes(gabT[:, :P, :Dh], 0, 1)
-            + dt4[..., None] * b_bank.astype(f32))
-    return dq, dk, dv, g_ab.astype(a_bank.dtype), g_bb.astype(b_bank.dtype)
+    g_ab, g_bb = finish_bank_grads(gabT, gbbT, a_bank, b_bank)
+    return dq, dk, dv, g_ab, g_bb

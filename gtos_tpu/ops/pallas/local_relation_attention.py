@@ -169,9 +169,10 @@ def _prep(q, k, v, a_loc, b_loc, rel_index_loc, node_mask):
 
 
 def _specs(B, H, N, Dh, P_loc, Dh_pad, Nc):
-    # index maps take (b, *prefetch_refs): the widths array rides as a
-    # scalar-prefetch operand (SMEM blocks are bound by the same 8/128
-    # block-tail rule as VMEM, so a (1, 1) SMEM block is not lowerable)
+    # index maps accept (b, *prefetch_refs) so a scalar-prefetch operand
+    # can be added without touching them (none is used today; the r4
+    # per-graph chunk-skipping experiment that introduced one measured
+    # slower and was reverted — see _chunked_gather)
     qkv = pl.BlockSpec((1, H, N, Dh_pad), lambda b, *_: (b, 0, 0, 0),
                        memory_space=pltpu.VMEM)
     bank = pl.BlockSpec((1, P_loc, H * Dh), lambda b, *_: (b, 0, 0),

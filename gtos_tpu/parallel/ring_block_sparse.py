@@ -165,9 +165,15 @@ def _ring_bwd_body(q, k, v, g, out, m, l, a_bank, b_bank, ctile_src,
     the rotating accumulators; a final ppermute delivers each block's
     grads home. Global (m, l) make the per-cell probabilities exact, and
     delta = sum(g * out) is local to the dst block, so no recompute of
-    other cells is ever needed."""
+    other cells is ever needed. Everything that does not depend on the
+    rotating (k, v) and the per-step cell — padded q/g, delta, the
+    packed+t4-augmented banks, the bank-grad epilogue — is hoisted out of
+    the ring loop (ADVICE r4: the bank re-pack alone is S-fold redundant
+    HBM traffic on the critical path between dk/dv rotations)."""
+    from gtos_tpu.ops.pallas.block_sparse_attention import T as _T
     from gtos_tpu.ops.pallas.block_sparse_attention_bwd import (
-        block_sparse_attention_bwd,
+        block_sparse_attention_bwd_raw, finish_bank_grads, pad_kv,
+        prep_bwd_invariants,
     )
 
     B, H, Nl, D = q.shape
@@ -185,9 +191,15 @@ def _ring_bwd_body(q, k, v, g, out, m, l, a_bank, b_bank, ctile_src,
     l_c = l.reshape(B, H, -1, 128).transpose(0, 2, 1, 3)
     g32 = g.astype(f32)
 
-    dq = jnp.zeros((B, H, Nl, D), f32)
-    gab = jnp.zeros(a_bank.shape, f32)
-    gbb = jnp.zeros(b_bank.shape, f32)
+    Tdl = -(-Nl // _T)
+    N_pad = Tdl * _T
+    Dh_pad = -(-(D + 1) // 128) * 128
+    qp, gp, delta, abT, bbT = prep_bwd_invariants(
+        q, g32, out, a_bank, b_bank, Tdl)
+
+    dqp = jnp.zeros((B, H, N_pad, Dh_pad), f32)
+    gabT = jnp.zeros(abT.shape, f32)
+    gbbT = jnp.zeros(bbT.shape, f32)
     k_buf, v_buf = k, v
     dk_buf = jnp.zeros((B, H, Nl, D), f32)
     dv_buf = jnp.zeros((B, H, Nl, D), f32)
@@ -203,15 +215,19 @@ def _ring_bwd_body(q, k, v, g, out, m, l, a_bank, b_bank, ctile_src,
         j = (s - t) % S
         cell = lambda a: jax.lax.dynamic_index_in_dim(  # noqa: E731
             a, j, axis=1, keepdims=False)
-        dq_t, dk_t, dv_t, gab_t, gbb_t = block_sparse_attention_bwd(
-            q, k_buf, v_buf, a_bank, b_bank, cell(ctile_src),
-            cell(ctile_rel), cell(ctile_dst), cell(ctile_rel_src),
-            out, m_c, l_c, g32, interpret=interpret, scale=scale)
-        dq += dq_t.astype(f32)
-        gab += gab_t.astype(f32)
-        gbb += gbb_t.astype(f32)
-        dk_buf += dk_t.astype(f32)
-        dv_buf += dv_t.astype(f32)
+        kp_t, vp_t = pad_kv(k_buf, v_buf, Dh_pad, N_pad)
+        dq_t, dk_t, dv_t, gab_t, gbb_t = block_sparse_attention_bwd_raw(
+            qp, kp_t, vp_t, gp, m_c, l_c, delta, abT, bbT,
+            cell(ctile_src), cell(ctile_rel),
+            cell(ctile_dst), cell(ctile_rel_src),
+            interpret=interpret, scale=scale)
+        dqp += dq_t
+        gabT += gab_t
+        gbbT += gbb_t
+        # un-pad before accumulating so the rotating buffers (and their
+        # ppermutes) stay at Dh, not Dh_pad (half the ICI bytes at Dh=64)
+        dk_buf += dk_t[:, :, :Nl, :D]
+        dv_buf += dv_t[:, :, :Nl, :D]
 
         if t < S - 1:
             k_buf, v_buf = k_nxt, v_nxt
@@ -223,6 +239,10 @@ def _ring_bwd_body(q, k, v, g, out, m, l, a_bank, b_bank, ctile_src,
         # lands every block's gradient on its home device
         dk_buf = jax.lax.ppermute(dk_buf, axis_name, perm)
         dv_buf = jax.lax.ppermute(dv_buf, axis_name, perm)
+    dq = dqp[:, :, :Nl, :D]
+    gab, gbb = finish_bank_grads(gabT, gbbT, a_bank, b_bank)
+    gab = gab.astype(f32)
+    gbb = gbb.astype(f32)
 
     # bank grads: every (data shard, ring device) contributes a partial of
     # the SAME replicated banks; 'model'-axis devices compute identical

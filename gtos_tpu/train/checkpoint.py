@@ -74,12 +74,18 @@ class CheckpointManager:
                     "step": abstract_state.step,
                     "rng": abstract_state.rng,
                 })))
-        except BaseException:
+        except Exception as e:
             # legacy layout (pre params/extras split): one StandardSave of
             # the whole TrainState pytree — restore it whole so old runs
-            # still resume (ADVICE r3)
-            return self.mgr.restore(
-                step, args=ocp.args.StandardRestore(abstract_state))
+            # still resume (ADVICE r3). Only Exception: KeyboardInterrupt /
+            # SystemExit must propagate, and if the legacy path also fails
+            # the ORIGINAL (new-layout) error is chained as the root cause
+            # (ADVICE r4).
+            try:
+                return self.mgr.restore(
+                    step, args=ocp.args.StandardRestore(abstract_state))
+            except Exception:
+                raise e from None
         return TrainState(params=r["params"], **r["extras"])
 
     def restore_params(self, abstract_params):
