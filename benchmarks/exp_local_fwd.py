@@ -46,12 +46,12 @@ B, H, Dh = 32, 8, 64
 def _variant_kernel(q_ref, k_ref, v_ref, ab_ref, bb_ref, t4_ref, idx_ref,
                     idxT_ref, mask_ref, out_ref, *, scale, Dh, variant):
     H, N, _ = q_ref.shape
-    P_loc = ab_ref.shape[0]
+    P_loc = ab_ref.shape[0] if ab_ref is not None else 0
     n_chunks = P_loc // 128
     f32 = jnp.float32
 
-    mask_row = mask_ref[0, 0, :]
-    mask_add = jnp.where(mask_row != 0, 0.0, NEG_INF).reshape(1, -1)[:, :N]
+    mask_row = mask_ref[...].reshape(1, -1)   # [1,1,Nc] or [1,Nc] blocks
+    mask_add = jnp.where(mask_row != 0, 0.0, NEG_INF)[:, :N]
 
     idx = idx_ref[:, :]
     idxT = idxT_ref[:, :]
@@ -120,6 +120,37 @@ def _variant_kernel(q_ref, k_ref, v_ref, ab_ref, bb_ref, t4_ref, idx_ref,
             e3t = e3t_all[h * N:(h + 1) * N, :N]
             e = (t1_of(h) + e24 + e3t.T) * scale + mask_add
             softmax_out(h, e)
+    elif variant == "nobanks":
+        # like notables but the caller also DROPPED the bank/t4 operands
+        # from in_specs — isolates the banks' DMA cost from program
+        # overhead (ab_ref/bb_ref/t4_ref are None here)
+        for h in range(H):
+            e = t1_of(h) * scale + mask_add
+            softmax_out(h, e)
+    elif variant == "empty":
+        # all operands DMA'd, near-zero compute: pipeline + DMA floor
+        for h in range(H):
+            out_ref[h] = v_ref[h]
+    elif variant == "nosoftmax":
+        # tables+gathers+t1 kept, softmax replaced by a plain matmul
+        for h in range(H):
+            t2, t3 = _head_tables(q_ref, k_ref, ab_ref, bb_ref, t4_ref, h,
+                                  Dh)
+            e24 = _chunked_gather(t2, hi, lo, n_chunks)[:, :N]
+            e3t = _chunked_gather(t3, hiT, loT, n_chunks)[:, :N]
+            e = (t1_of(h) + e24 + e3t.T) * scale + mask_add
+            out_ref[h] = jax.lax.dot_general(
+                e.astype(v_ref.dtype), v_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32).astype(out_ref.dtype)
+    elif variant == "phase_nogather":
+        tabs = [
+            _head_tables(q_ref, k_ref, ab_ref, bb_ref, t4_ref, h, Dh)
+            for h in range(H)
+        ]
+        for h in range(H):
+            t2, t3 = tabs[h]
+            e = (t1_of(h) + t2[:, :N] + t3[:, :N].T) * scale + mask_add
+            softmax_out(h, e)
     else:
         raise ValueError(variant)
 
@@ -132,6 +163,66 @@ def variant_fwd(q, k, v, a_loc, b_loc, rel_index_loc, node_mask, *,
     (qp, kp, vp, ab, bb, t4, idx_p, idxT_p, mask_p, Dh_pad,
      Nc) = _prep(q, k, v, a_loc, b_loc, rel_index_loc, node_mask)
     qkv, bank, t4s, idxs, msk = _specs(Bq, Hq, N, Dhq, P_loc, Dh_pad, Nc)
+
+    if variant == "nobanks":
+        def kernel_nb(q_r, k_r, v_r, idx_r, idxT_r, mask_r, out_r):
+            _variant_kernel(q_r.at[0], k_r.at[0], v_r.at[0], None, None,
+                            None, idx_r.at[0], idxT_r.at[0], mask_r,
+                            out_r.at[0], scale=scale, Dh=Dhq,
+                            variant=variant)
+
+        out = pl.pallas_call(
+            kernel_nb,
+            grid=(Bq,),
+            in_specs=[qkv, qkv, qkv, idxs, idxs, msk],
+            out_specs=qkv,
+            out_shape=jax.ShapeDtypeStruct((Bq, Hq, N, Dh_pad), v.dtype),
+            compiler_params=_VMEM,
+            interpret=False,
+        )(qp, kp, vp, idx_p, idxT_p, mask_p)
+        return out[..., :Dhq]
+
+    if variant.startswith("grid"):
+        # G graphs per program: amortize per-program overhead, let the
+        # pipeline stream bigger DMAs
+        G = int(variant.split("_")[1])
+        qkvG = pl.BlockSpec((G, Hq, N, Dh_pad),
+                            lambda b, *_: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        bankG = pl.BlockSpec((G, P_loc, Hq * Dhq),
+                             lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+        t4G = pl.BlockSpec((G, Hq, P_loc), lambda b, *_: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+        idxG = pl.BlockSpec((G, N, Nc), lambda b, *_: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+        mskG = pl.BlockSpec((G, 1, Nc), lambda b, *_: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+        def kernel_g(q_r, k_r, v_r, ab_r, bb_r, t4_r, idx_r, idxT_r,
+                     mask_r, out_r):
+            for g in range(G):
+                _variant_kernel(q_r.at[g], k_r.at[g], v_r.at[g],
+                                ab_r.at[g], bb_r.at[g], t4_r.at[g],
+                                idx_r.at[g], idxT_r.at[g], mask_r.at[g],
+                                out_r.at[g], scale=scale, Dh=Dhq,
+                                variant="base")
+
+        # mask block gains a leading G dim: reshape operand accordingly
+        def kernel_mask_fix(mask):
+            return mask
+
+        out = pl.pallas_call(
+            kernel_g,
+            grid=(Bq // G,),
+            in_specs=[qkvG, qkvG, qkvG, bankG, bankG, t4G, idxG, idxG,
+                      mskG],
+            out_specs=qkvG,
+            out_shape=jax.ShapeDtypeStruct((Bq, Hq, N, Dh_pad), v.dtype),
+            compiler_params=_VMEM,
+            interpret=False,
+        )(qp, kp, vp, ab, bb, t4, idx_p, idxT_p, mask_p)
+        return out[..., :Dhq]
 
     def kernel(q_r, k_r, v_r, ab_r, bb_r, t4_r, idx_r, idxT_r, mask_r,
                out_r):
@@ -182,8 +273,8 @@ def measure(variant):
     t_lo = min(run(lo) for _ in range(3))
     t_hi = min(run(hi) for _ in range(3))
     t = max(t_hi - t_lo, 1e-9) / (hi - lo)
-    # parity check (base/phase/headcat must agree with the library kernel)
-    if variant in ("base", "phase", "headcat"):
+    # parity check (full-math variants must agree with the library kernel)
+    if variant in ("base", "phase", "headcat") or variant.startswith("grid"):
         from gtos_tpu.ops.pallas.local_relation_attention import (
             local_relation_attention,
         )
@@ -196,7 +287,7 @@ def measure(variant):
     return t
 
 
-VARIANTS = ["base", "nogather", "notables", "phase", "headcat"]
+VARIANTS = ["nobanks", "empty", "nosoftmax", "phase_nogather"]
 
 
 def main():

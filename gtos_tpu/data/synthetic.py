@@ -66,6 +66,61 @@ def synthetic_amr_corpus(
     return graphs, targets
 
 
+def synthetic_amr2_corpus(
+    n: int = 36000, seed: int = 0, max_nodes: int = 80,
+    max_target: int = 100,
+) -> Tuple[List[Graph], List[List[str]]]:
+    """An AMR-2.0-SCALE synthetic corpus (VERDICT r4 next #6): ~36k
+    instances with a realistic size/length distribution (log-normal node
+    counts, mean ~14, tail to `max_nodes`; targets to ~`max_target`
+    tokens), Zipf-sampled lemma pools (~8k lemmas -> a real frequency-
+    cutoff vocab) and ~40 Zipf-weighted roles (AMR 2.0's role inventory
+    scale). Exercises the bucket ladder, bank-capacity bisecting and
+    vocab cutoffs the tiny test corpus never touches; the content is
+    still synthetic — LDC BLEU parity needs the licensed corpus
+    (PARITY.md)."""
+    rng = random.Random(seed)
+    verbs = [f"verb{i:04d}" for i in range(2500)]
+    nouns = [f"noun{i:04d}" for i in range(5500)]
+    roles = (["ARG0", "ARG1", "ARG2", "ARG3", "ARG4", "mod", "time",
+              "location", "manner", "poss", "domain", "topic", "purpose",
+              "name", "quant", "unit", "degree", "condition", "part",
+              "source", "destination", "beneficiary", "instrument",
+              "accompanier", "duration", "frequency", "extent", "medium",
+              "example", "concession", "direction", "ord", "value",
+              "polarity", "mode", "age", "path", "subevent", "li", "wiki"])
+
+    def zipf(pool):
+        # rank-weighted choice: w_r ~ 1/(r+2)
+        r = int(len(pool) * (rng.random() ** 3))
+        return pool[min(r, len(pool) - 1)]
+
+    graphs, targets = [], []
+    for _ in range(n):
+        nn = max(1, min(int(rng.lognormvariate(2.6, 0.55)), max_nodes))
+        nodes = []
+        for i in range(nn):
+            if rng.random() < 0.45:
+                nodes.append(f"{zipf(verbs)}-{rng.randint(1, 3):02d}")
+            else:
+                nodes.append(zipf(nouns))
+        edges = []
+        for i in range(1, nn):
+            # mostly-local attachment: AMR graphs are tree-ish and
+            # shallow-reentrant
+            parent = rng.randrange(max(0, i - 8), i)
+            edges.append((parent, zipf(roles), i))
+        for _ in range(int(nn * 0.08)):  # re-entrancies
+            s, t = rng.randrange(nn), rng.randrange(nn)
+            if s != t:
+                edges.append((s, zipf(roles), t))
+        g = Graph(nodes=nodes, edges=edges)
+        tgt = target_for(g, rng)[:max_target]
+        graphs.append(g)
+        targets.append(tgt)
+    return graphs, targets
+
+
 def synthetic_dependency_corpus(
     n: int, seed: int = 0, min_len: int = 4, max_len: int = 15
 ) -> Tuple[List[Graph], List[List[str]]]:

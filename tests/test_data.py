@@ -162,3 +162,22 @@ def test_dataloader_parallel_workers_identical(mode):
         np.testing.assert_array_equal(a.arrays()["token_out"],
                                       b.arrays()["token_out"])
     pdl.close()
+
+
+def test_amr2_scale_corpus_pipeline():
+    """synthetic_amr2_corpus (the AMR-2.0-scale stand-in) flows through
+    vocab build -> preprocess -> DataLoader with realistic size spread."""
+    from gtos_tpu.data.synthetic import synthetic_amr2_corpus
+
+    graphs, targets = synthetic_amr2_corpus(64, seed=0)
+    assert max(g.num_nodes for g in graphs) > 20  # long tail present
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    dl = DataLoader(instances, tv, cv, rv, chv, lm, batch_size_tokens=2048,
+                    for_train=True, seed=0,
+                    spec=BucketSpec(bank=(4096, 8192, 16384, 32768)),
+                    build_local_banks=True)
+    batches = list(dl)
+    assert sum(len(b.oov_lists) for b in batches) >= len(instances)
+    sigs = {b.arrays()["concept"].shape for b in batches}
+    assert len(sigs) >= 2  # the size spread actually exercises buckets
