@@ -196,7 +196,7 @@ def test_fwd_only_grad_raises_typed_error():
 
     # forward works
     assert np.isfinite(float(loss(q)))
-    with pytest.raises(TypeError, match="for_train=True"):
+    with pytest.raises(TypeError, match="device_sort_bnd"):
         jax.grad(loss)(q)
 
 
