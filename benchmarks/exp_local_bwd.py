@@ -57,8 +57,6 @@ def _bwd_variant_kernel(qkv_ref, go_ref, probs_ref, ab_ref, bb_ref,
            <= jax.lax.broadcasted_iota(jnp.int32, (Nc, Nc), 1)).astype(f32)
     bnd = bnd_ref[:N, :].astype(jnp.int32)
     bndT = bnd_ref[N:2 * N, :].astype(jnp.int32)
-    start = jnp.where(lane_p > 0, pltpu.roll(bnd, 1, 1), 0)
-    startT = jnp.where(lane_p > 0, pltpu.roll(bndT, 1, 1), 0)
 
     qh_p = lambda h: qkv_ref[h][:, :DP]                  # noqa: E731
     kh_p = lambda h: qkv_ref[h][:, DP:2 * DP]            # noqa: E731
@@ -78,7 +76,116 @@ def _bwd_variant_kernel(qkv_ref, go_ref, probs_ref, ab_ref, bb_ref,
                                       keepdims=True))
         ges.append(ge * scale)
 
-    if variant == "nophase2":
+    if variant in ("headmajor", "fuse23"):
+        # headmajor: compute/consume per head (the r4 order, packed
+        # operands); fuse23: keep phase 1 separate but merge scatter +
+        # contractions per head so only `ges` stays live across phases
+        for h in range(H):
+            ge = ges[h]
+            ge_pad = _pad_lane(ge, Nc)
+            geT_pad = _pad_lane(ge.T, Nc)
+            g_t2 = _sorted_scatter(ge_pad, sort_i, bnd, n_chunks,
+                                   tri, N, lane_p)
+            g_t3 = _sorted_scatter(geT_pad, sortT_i, bndT,
+                                   n_chunks, tri, N, lane_p)
+            bsl = bb_ref[:, h * Dh:(h + 1) * Dh].astype(f32)
+            asl = ab_ref[:, h * Dh:(h + 1) * Dh].astype(f32)
+            qh32 = qh_p(h).astype(f32)
+            kh32 = kh_p(h).astype(f32)
+            gq = jax.lax.dot_general(
+                ge, kh32, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            gq += _pad_lane(jax.lax.dot_general(
+                g_t2, bsl, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32), DP)
+            gk = jax.lax.dot_general(
+                ge, qh32, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            gk += _pad_lane(jax.lax.dot_general(
+                g_t3, asl, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32), DP)
+            gqkv_ref[h, :, :DP] = gq.astype(gqkv_ref.dtype)
+            gqkv_ref[h, :, DP:2 * DP] = gk.astype(gqkv_ref.dtype)
+            gt4_col = jnp.sum(g_t2, axis=0).reshape(P_loc, 1)
+            gbb_ref[:, h * Dh:(h + 1) * Dh] = (jax.lax.dot_general(
+                g_t2, qh32[:, :Dh], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+                + gt4_col * asl).astype(gbb_ref.dtype)
+            gab_ref[:, h * Dh:(h + 1) * Dh] = (jax.lax.dot_general(
+                g_t3, kh32[:, :Dh], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+                + gt4_col * bsl).astype(gab_ref.dtype)
+        return
+
+    if variant in ("stackheads", "stackmxuT"):
+        # ONE gather per chunk for ALL heads: the boundary indices are
+        # head-invariant, so stacking S for the 8 heads on sublanes
+        # ([H*N, Nc]) turns 2 x H x n_chunks takes into 2 x n_chunks
+        # (if dynamic_gather cost is per-op, this is ~8x fewer shuffles)
+        eyeN = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+                ).astype(f32)
+
+        def trans(ge):
+            if variant == "stackmxuT":
+                # transpose via MXU: out[a,b] = sum_c ge[c,a] I[c,b]
+                return jax.lax.dot_general(
+                    ge, eyeN, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+            return ge.T
+
+        ge_all = jnp.concatenate([_pad_lane(g, Nc) for g in ges], axis=0)
+        geT_all = jnp.concatenate([_pad_lane(trans(g), Nc) for g in ges],
+                                  axis=0)
+        sort_all = jnp.concatenate([sort_i] * H, axis=0)
+        sortT_all = jnp.concatenate([sortT_i] * H, axis=0)
+        bnd_all = jnp.concatenate([bnd] * H, axis=0)
+        bndT_all = jnp.concatenate([bndT] * H, axis=0)
+        lane_all = jax.lax.broadcasted_iota(jnp.int32, (H * N, P_loc), 1)
+        g2_all = _sorted_scatter(ge_all, sort_all, bnd_all, n_chunks,
+                                 tri, 10 ** 9, lane_all)
+        g3_all = _sorted_scatter(geT_all, sortT_all, bndT_all, n_chunks,
+                                 tri, 10 ** 9, lane_all)
+        # NB: N=10**9 disables the pad-column zeroing; instead zero the
+        # pad columns before stacking
+        gts = [(g2_all[h * N:(h + 1) * N], g3_all[h * N:(h + 1) * N])
+               for h in range(H)]
+    elif variant == "noTside":
+        # full sorted-scatter on the plain side; the transposed side
+        # (ge.T transpose + its sort gather + tri matmul + boundary
+        # gathers) skipped — isolates the T-side total
+        gts = []
+        for h in range(H):
+            ge_pad = _pad_lane(ges[h], Nc)
+            g_t2 = _sorted_scatter(ge_pad, sort_i, bnd, n_chunks,
+                                   tri, N, lane_p)
+            gts.append((g_t2, g_t2))
+    elif variant == "constidx":
+        # both sides, but the boundary gathers use a constant iota index
+        # (no bnd dependence) — isolates gather cost from index prep
+        const = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
+
+        def scat(ge_pad, sort_x):
+            sge = jnp.take_along_axis(ge_pad, sort_x, axis=1,
+                                      mode="promise_in_bounds")
+            S = jax.lax.dot_general(
+                sge, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)
+            outs = []
+            for c in range(n_chunks):
+                g_end = jnp.take_along_axis(
+                    S, const, axis=1, mode="promise_in_bounds")
+                g_st = jnp.take_along_axis(
+                    S, const, axis=1, mode="promise_in_bounds")
+                outs.append(g_end - 0.5 * g_st)
+            return jnp.concatenate(outs, axis=1)
+
+        gts = []
+        for h in range(H):
+            gts.append((scat(_pad_lane(ges[h], Nc), sort_i),
+                        scat(_pad_lane(ges[h].T, Nc), sortT_i)))
+    elif variant == "nophase2":
         gts = [(jnp.zeros((N, P_loc), f32),) * 2 for _ in range(H)]
     elif variant == "noboundary":
         gts = []
@@ -97,10 +204,10 @@ def _bwd_variant_kernel(qkv_ref, go_ref, probs_ref, ab_ref, bb_ref,
         for h in range(H):
             ge_pad = _pad_lane(ges[h], Nc)
             geT_pad = _pad_lane(ges[h].T, Nc)
-            g_t2 = _sorted_scatter(ge_pad, sort_i, bnd, start, n_chunks,
-                                   tri, N)
-            g_t3 = _sorted_scatter(geT_pad, sortT_i, bndT, startT,
-                                   n_chunks, tri, N)
+            g_t2 = _sorted_scatter(ge_pad, sort_i, bnd, n_chunks,
+                                   tri, N, lane_p)
+            g_t3 = _sorted_scatter(geT_pad, sortT_i, bndT,
+                                   n_chunks, tri, N, lane_p)
             gts.append((g_t2, g_t3))
 
     if variant == "nophase3":
@@ -244,7 +351,7 @@ def measure(variant):
     return max(t_hi - t_lo, 1e-9) / (hi - lo)
 
 
-VARIANTS = ["full", "empty", "nophase2", "nophase3", "noboundary"]
+VARIANTS = ["stackheads", "stackmxuT"]
 
 
 def main():

@@ -286,15 +286,21 @@ def local_relation_attention(q, k, v, a_loc, b_loc, rel_index_loc,
 # ---------------------------------------------------------------------------
 
 
-def _sorted_scatter(ge_pad, sort_idx, bnd, start, n_chunks, tri, N):
+def _sorted_scatter(ge_pad, sort_idx, bnd, n_chunks, tri, N, lane_p):
     """scatter-add transpose of the gather: out[i, p] = sum_j ge[i, j]
     where slot[i, j] == p, for a whole [N, Nc] ge plane at once.
 
     sge = ge columns permuted into slot-sorted order (one lane shuffle),
     S = inclusive lane prefix-sum of sge (ONE triangular MXU matmul),
-    out[i, p] = S[i, end-1] - S[i, start-1]  (S[-1] := 0)
-    with end = bnd[i, p] (inclusive boundary counts) and start =
-    bnd[i, p-1] (lane-rolled once per graph). Returns [N, P_loc] f32."""
+    out[i, p] = E[i, p] - E[i, p-1] with
+    E[i, p] = [bnd[i,p] > 0] * S[i, bnd[i,p] - 1]  (E[i, -1] := 0).
+
+    The start-side boundary values are a pure LANE ROLL of the end-side
+    ones (start = bnd shifted by one lane), so only ONE data-dependent
+    gather per 128-slot chunk is needed — the r5 backward ablation
+    measured these dynamic_gather shuffles at ~0.7 us per [N, 128] take,
+    the dominant backward cost, and this halves them (exp_local_bwd.py).
+    Returns [N, P_loc] f32."""
     sge = jnp.take_along_axis(ge_pad, sort_idx, axis=1,
                               mode="promise_in_bounds")
     # pad columns (>= N) may gather real values through the padded sort
@@ -306,17 +312,15 @@ def _sorted_scatter(ge_pad, sort_idx, bnd, start, n_chunks, tri, N):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)              # [N, Nc]
 
-    outs = []
+    ends = []
     for c in range(n_chunks):
         end = bnd[:, c * 128:(c + 1) * 128]
-        st = start[:, c * 128:(c + 1) * 128]
         g_end = jnp.take_along_axis(
             S, jnp.maximum(end - 1, 0), axis=1, mode="promise_in_bounds")
-        g_start = jnp.take_along_axis(
-            S, jnp.maximum(st - 1, 0), axis=1, mode="promise_in_bounds")
-        outs.append(jnp.where(end > 0, g_end, 0.0)
-                    - jnp.where(st > 0, g_start, 0.0))
-    return jnp.concatenate(outs, axis=1)
+        ends.append(jnp.where(end > 0, g_end, 0.0))
+    e_m = jnp.concatenate(ends, axis=1)                   # [N, P_loc]
+    s_m = jnp.where(lane_p > 0, pltpu.roll(e_m, 1, 1), 0.0)
+    return e_m - s_m
 
 
 def _bwd_kernel(qkv_ref, go_ref, probs_ref, ab_ref, bb_ref, sort_ref,
@@ -336,13 +340,10 @@ def _bwd_kernel(qkv_ref, go_ref, probs_ref, ab_ref, bb_ref, sort_ref,
 
     sort_i = sort_ref[:N, :]
     sortT_i = sort_ref[N:2 * N, :]
-    lane_p = jax.lax.broadcasted_iota(jnp.int32, (N, P_loc), 1)
     tri = (jax.lax.broadcasted_iota(jnp.int32, (Nc, Nc), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (Nc, Nc), 1)).astype(f32)
     bnd = bnd_ref[:N, :].astype(jnp.int32)
     bndT = bnd_ref[N:2 * N, :].astype(jnp.int32)
-    start = jnp.where(lane_p > 0, pltpu.roll(bnd, 1, 1), 0)
-    startT = jnp.where(lane_p > 0, pltpu.roll(bndT, 1, 1), 0)
 
     qh_p = lambda h: qkv_ref[h][:, :DP]                  # noqa: E731
     kh_p = lambda h: qkv_ref[h][:, DP:2 * DP]            # noqa: E731
@@ -363,16 +364,24 @@ def _bwd_kernel(qkv_ref, go_ref, probs_ref, ab_ref, bb_ref, sort_ref,
                                       keepdims=True))
         ges.append(ge * scale)                                # [N, N]
 
-    # phase 2: sorted-scatter table grads (VPU shuffles + tri matmuls)
-    gts = []
-    for h in range(H):
-        ge_pad = _pad_lane(ges[h], Nc)
-        geT_pad = _pad_lane(ges[h].T, Nc)
-        g_t2 = _sorted_scatter(ge_pad, sort_i, bnd, start, n_chunks, tri,
-                               N)
-        g_t3 = _sorted_scatter(geT_pad, sortT_i, bndT, startT, n_chunks,
-                               tri, N)                    # [N, P_loc]
-        gts.append((g_t2, g_t3))
+    # phase 2: sorted-scatter table grads, ALL HEADS STACKED on sublanes
+    # — the boundary indices are head-invariant, so one [H*N, 128] take
+    # per chunk replaces H separate [N, 128] takes. dynamic_gather cost
+    # is per-op (~0.7 us each, exp_local_bwd.py), so this is the
+    # backward's biggest single lever (592 -> 493 us kernel-only).
+    ge_all = jnp.concatenate([_pad_lane(g, Nc) for g in ges], axis=0)
+    geT_all = jnp.concatenate([_pad_lane(g.T, Nc) for g in ges], axis=0)
+    sort_all = jnp.concatenate([sort_i] * H, axis=0)
+    sortT_all = jnp.concatenate([sortT_i] * H, axis=0)
+    bnd_all = jnp.concatenate([bnd] * H, axis=0)
+    bndT_all = jnp.concatenate([bndT] * H, axis=0)
+    lane_all = jax.lax.broadcasted_iota(jnp.int32, (H * N, P_loc), 1)
+    g2_all = _sorted_scatter(ge_all, sort_all, bnd_all, n_chunks, tri, N,
+                             lane_all)
+    g3_all = _sorted_scatter(geT_all, sortT_all, bndT_all, n_chunks, tri,
+                             N, lane_all)                 # [H*N, P_loc]
+    gts = [(g2_all[h * N:(h + 1) * N], g3_all[h * N:(h + 1) * N])
+           for h in range(H)]
 
     # phase 3: contractions + bank grads (MXU)
     for h in range(H):
