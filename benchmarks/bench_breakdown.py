@@ -152,7 +152,23 @@ def main():
         updates, _ = tx.update(tied(c), state.opt_state, params)
         return perturb(c, optax.global_norm(updates))
 
+    # ---- decoder sub-decomposition (VERDICT r4 next #8): the same full
+    # loss with the copy mechanism OFF isolates the extended-vocab
+    # scatter-add + its VJP (the suspected decoder hot spot) ----
+    import dataclasses as _dc
+    nocopy_model = Generator(_dc.replace(cfg, use_copy=False))
+    nocopy_params = nocopy_model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        arrays, deterministic=True)
+
+    def grad_nocopy(c):
+        def lf(p):
+            return nocopy_model.apply(p, arrays, deterministic=True)[0]
+        _, g = jax.value_and_grad(lf)(nocopy_params)
+        return perturb(c, optax.global_norm(g))
+
     c0 = jnp.float32(0.0)
+    t_nocopy_fb = marginal(grad_nocopy, c0, 3, 15)
     t_gru = marginal(gru_only, c0, 8, 40)
     t_encode = marginal(encode_only, c0, 6, 30)
     t_fwd = marginal(fwd_loss, c0, 6, 30)
@@ -219,6 +235,9 @@ def main():
                 (t_enc_fb - t_gru_fb) * 1e3, 3),
             "decoder_copy_loss_fwd_bwd": round((t_grad - t_enc_fb) * 1e3,
                                                3),
+            "full_grad_no_copy_mechanism": round(t_nocopy_fb * 1e3, 3),
+            "copy_scatter_plus_vjp(full - no_copy)": round(
+                (t_grad - t_nocopy_fb) * 1e3, 3),
             "optimizer_update_only": round(t_opt * 1e3, 3),
             "dispatch_residual(full_step - grad - opt)": round(
                 (t_step - t_grad - t_opt) * 1e3, 3),

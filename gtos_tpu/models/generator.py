@@ -9,14 +9,19 @@ onto an extended vocabulary:
 
     P(w) = g * P_vocab(w) + (1 - g) * sum_i alpha_i * [cp_seq_i == w]
 
-realized with an XLA scatter-add (the TPU equivalent of the reference's
-scatter_add_ onto a vocab-size tensor). The same model class serves the
-translator (dependency NMT) path with use_copy=False.
+realized by default as a one-hot MXU matmul (copy_impl='onehot'; the
+XLA scatter-add — the TPU equivalent of the reference's scatter_add_
+onto a vocab-size tensor — remains as copy_impl='scatter', but its
+serialized VJP measured 1.5 ms/step at the dominant bucket). The same
+model class serves the translator (dependency NMT) path with
+use_copy=False.
 """
 
 from __future__ import annotations
 
 from typing import Dict, Optional
+
+import functools
 
 import flax.linen as nn
 import jax
@@ -143,15 +148,36 @@ class Generator(nn.Module):
         g = jax.nn.sigmoid(self.copy_gate(h).astype(jnp.float32))   # [..., 1]
 
         *lead, V = p_vocab.shape
-        ext = jnp.zeros((*lead, cfg.ext_vocab), dtype=jnp.float32)
-        # place generation mass
-        ext = ext.at[..., :V].set(g * p_vocab)
-        # scatter copy mass via cp_seq
+        pad_tail = cfg.ext_vocab - V
+        gen = jnp.pad(g * p_vocab,
+                      [(0, 0)] * (p_vocab.ndim - 1) + [(0, pad_tail)])
+        if cfg.copy_impl == "onehot":
+            # copy mass as ONE one-hot matmul: copy[..., w] =
+            # sum_i alpha[..., i] [cp_seq[b, i] == w]. The scatter-add
+            # below and its VJP measured 1.5 ms/step at the dominant
+            # bucket (train_step_breakdown.json r5); the matmul runs on
+            # the MXU and differentiates into another matmul. The one-hot
+            # is exact in bf16 (0/1), alpha rounds to bf16 (~1e-3
+            # relative on a probability) — parity-tested vs the scatter.
+            oh = (cp_seq[:, :, None]
+                  == jnp.arange(cfg.ext_vocab)[None, None, :])  # [B,N,E]
+            ohb = oh.astype(jnp.bfloat16)
+            # split-precision bf16 matmul: hi + (alpha - hi) residual term
+            # recovers f32 accuracy (~1e-6) at 2x a cheap MXU matmul —
+            # the one-hot itself is exact in bf16
+            a32 = (1.0 - g) * alpha
+            a_hi = a32.astype(jnp.bfloat16)
+            a_lo = (a32 - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            ein = functools.partial(jnp.einsum, "b...i,bie->b...e",
+                                    preferred_element_type=jnp.float32)
+            copy = ein(a_hi, ohb) + ein(a_lo, ohb)
+            return jnp.log(gen + copy + EPS)
+        # "scatter": the reference's torch scatter_add_ contract
         B = cp_seq.shape[0]
         N = cp_seq.shape[1]
         cp = jnp.broadcast_to(
             cp_seq.reshape(B, *([1] * (alpha.ndim - 2)), N), alpha.shape)
-        ext = _scatter_add_last(ext, cp, (1.0 - g) * alpha)
+        ext = _scatter_add_last(gen, cp, (1.0 - g) * alpha)
         return jnp.log(ext + EPS)
 
     # ---------------- training ----------------

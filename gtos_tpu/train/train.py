@@ -67,6 +67,11 @@ def parse_args(argv=None):
                         "token vocab + this; also caps batchify's OOV list)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--copy_impl", default="onehot",
+                   choices=["onehot", "scatter"],
+                   help="copy-mass placement: one-hot MXU matmul "
+                        "(default; the scatter VJP measured 1.5 ms/step) "
+                        "or XLA scatter-add (the reference contract)")
     p.add_argument("--attention_impl", default="xla",
                    choices=["xla", "pallas", "pallas_interpret",
                             "pallas_local", "pallas_local_interpret",
@@ -306,6 +311,7 @@ def main(argv=None):
         sparse_khop=args.sparse_khop,
         cp_schedule=args.cp_schedule,
         use_copy=(args.task == "amr"),
+        copy_impl=args.copy_impl,
         use_node_positions=(args.task == "nmt"),
     )
     if args.graph > 1 and args.attention_impl not in (

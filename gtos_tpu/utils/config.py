@@ -41,6 +41,14 @@ class ModelConfig:
     # copy mechanism: extended vocab = token_vocab + max_oov
     max_oov: int = 64
     use_copy: bool = True
+    # how the copy mass lands on the extended vocab:
+    #   "onehot"  (default) one-hot MXU matmul — the scatter-add and its
+    #             serialized VJP measured 1.5 ms/step at the dominant
+    #             bucket (train_step_breakdown.json r5); the matmul's
+    #             backward is just another matmul
+    #   "scatter" XLA scatter-add (the reference's torch scatter_add_
+    #             contract, SURVEY.md §3.4; parity-tested vs torch)
+    copy_impl: str = "onehot"
     # translator path: nodes are source words in order -> add positions
     use_node_positions: bool = False
     # numerics: params stay f32; activations in compute_dtype

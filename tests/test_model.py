@@ -186,3 +186,45 @@ def test_copy_oov_end_to_end(oov_setup):
     assert (seqs[0, 0] >= V).any(), "beam never emitted an extended id"
     hyps = decode_batch(model, params, batch, tv, beam_size=2, max_steps=8)
     assert "zorblat" in hyps[0], hyps[0]
+
+
+def test_copy_onehot_matches_scatter():
+    """copy_impl='onehot' (one-hot MXU matmul) reproduces the scatter-add
+    reference's loss and gradients (bf16-rounded alpha tolerance) —
+    train_step_breakdown.json r5: the scatter VJP was 1.5 ms/step."""
+    import dataclasses
+
+    from gtos_tpu.data import batchify
+    from gtos_tpu.data.dataloader import preprocess
+    from gtos_tpu.data.extract import build_vocabs
+    from gtos_tpu.data.synthetic import synthetic_amr_corpus
+
+    graphs, targets = synthetic_amr_corpus(8, seed=21, min_nodes=3,
+                                           max_nodes=8)
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    batch = batchify(instances, tv, cv, rv, chv, lm, batch_size_bucket=8)
+    arrays = batch.arrays()
+    cfg = ModelConfig(
+        token_vocab=len(tv), concept_vocab=len(cv), relation_vocab=len(rv),
+        char_vocab=len(chv), d_model=32, d_ff=64, heads=2, enc_layers=1,
+        dec_layers=1, char_dim=8, char_filters=16, rel_emb_dim=8,
+        rel_hidden=16, max_oov=16, max_target_len=32, dropout=0.0,
+        copy_impl="scatter")
+    m_sc = Generator(cfg)
+    m_oh = Generator(dataclasses.replace(cfg, copy_impl="onehot"))
+    params = m_sc.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        arrays, deterministic=True)
+
+    def gloss(m):
+        def f(p):
+            return m.apply(p, arrays, deterministic=True)[0]
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    (l_sc, g_sc), (l_oh, g_oh) = gloss(m_sc), gloss(m_oh)
+    np.testing.assert_allclose(float(l_oh), float(l_sc), rtol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(g_oh),
+                    jax.tree_util.tree_leaves(g_sc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-2, atol=2e-3)
