@@ -279,9 +279,16 @@ def main():
                 "sol_frac": round(bwd_sol / t_bwd, 4),
             },
             "roofline_note": (
-                "residual above speed-of-light is the P_loc/128-chunk "
-                "gather/scatter lane shuffles (VPU), bounded by "
-                "localization; sol_frac = speed_of_light / measured"),
+                "sol_frac = ideal-HBM speed_of_light / measured. The r4 "
+                "attribution of the residual to VPU lane shuffles was "
+                "overturned by compiled ablation (r5, "
+                "benchmarks/kernel_decomposition.json): the kernels are "
+                "data-movement-bound — the banks stream at ~720 GB/s "
+                "(88% of peak) but per-operand pipeline overhead and "
+                "the t4/packing prep (which XLA fuses away inside full "
+                "model programs but this isolated bench pays) set the "
+                "floor; the r5 packed-operand layout closed most of the "
+                "operand-overhead term"),
             "protocol": "marginal fori_loop slope, readback-fenced",
             "device": str(jax.devices()[0]),
         },
