@@ -97,6 +97,7 @@ def build_inputs(batch, dtype=jnp.bfloat16):
         rel_index=j(batch.rel_index), mask=j(batch.concept_mask),
         bank_map=j(batch.bank_map), idx_loc=idx_loc,
         srt=srt, bnd=bnd, srtT=srtT, bndT=bndT,
+        loc_perm=j(batch.loc_perm), loc_bnd=j(batch.loc_bnd),
         N=N, P=P, P_loc=P_loc,
     )
 
@@ -111,6 +112,7 @@ def make_loop(inp):
     idx_loc, mask = inp["idx_loc"], inp["mask"]
     srt, bnd, srtT, bndT = inp["srt"], inp["bnd"], inp["srtT"], inp["bndT"]
     rel_index, bank_map = inp["rel_index"], inp["bank_map"]
+    loc_perm, loc_bnd = inp["loc_perm"], inp["loc_bnd"]
 
     # Bank operands by mode: the model gathers the GRU's relation vectors
     # ONCE per step for the whole layer stack (graph_transformer.py), so
@@ -136,8 +138,14 @@ def make_loop(inp):
                     q, k, v, b1, b2, idx_loc, mask)
             return _dense_xla(q, k, v, b1, b2, rel_index, mask)
 
-        def localize(ab):
-            return (ab[bank_map].astype(jnp.float32) ** 2).sum()
+        def localize(rv):
+            # the MODEL's localize: ONE [P, D=H*Dh] rel_vecs table
+            # gathered per step through ops/localize.localize_bank (r5:
+            # scatter-free backward; r4 and earlier measured TWO plain
+            # gathers with XLA scatter-add VJPs — not comparable)
+            from gtos_tpu.ops.localize import localize_bank
+            loc = localize_bank(rv, bank_map, loc_perm, loc_bnd)
+            return (loc.astype(jnp.float32) ** 2).sum()
 
         def body(i, q):
             if mode == "localize_grad":
@@ -145,11 +153,11 @@ def make_loop(inp):
                 # hoist the (loop-invariant) gather+scatter out of the
                 # loop; the extra elementwise multiply is ~34 MB of
                 # traffic, small against the scatter being measured
+                rv = ab1.reshape(ab1.shape[0], -1)
                 eps = (q.astype(jnp.float32).sum() * 1e-20).astype(
-                    ab1.dtype)
-                g1 = jax.grad(localize)(ab1 + eps)
-                g2 = jax.grad(localize)(ab2 + eps)
-                return q + (1e-6 * (g1.sum() + g2.sum())).astype(q.dtype)
+                    rv.dtype)
+                g1 = jax.grad(localize)(rv + eps)
+                return q + (1e-6 * g1.sum()).astype(q.dtype)
             if mode.endswith("grad"):
                 g = jax.grad(
                     lambda *a: fwd(*a).astype(jnp.float32).sum(),
@@ -224,8 +232,8 @@ def main():
 
     t_local = marginal_s_per_iter(loop, inp, "local", lo=30, hi=180)
     t_local_fb = marginal_s_per_iter(loop, inp, "local_grad", lo=10, hi=60)
-    t_localize = marginal_s_per_iter(loop, inp, "localize_grad", lo=5,
-                                     hi=25)
+    t_localize = marginal_s_per_iter(loop, inp, "localize_grad", lo=10,
+                                     hi=60)
     t_dense = marginal_s_per_iter(loop, inp, "dense", lo=4, hi=16)
     t_dense_fb = marginal_s_per_iter(loop, inp, "dense_grad", lo=2, hi=8)
 
@@ -262,10 +270,16 @@ def main():
             "bank_localize_roundtrip_ms": round(t_localize * 1e3, 3),
             "bank_localize_note": (
                 "gather of the GRU relation vectors into per-graph banks "
-                "+ its scatter-add VJP; paid ONCE per train step for the "
-                "whole encoder stack (graph_transformer localizes before "
-                "the layer loop), so it amortizes over layers and is "
-                "excluded from the per-layer kernel numbers above"),
+                "+ its backward; paid ONCE per train step for the whole "
+                "encoder stack (graph_transformer localizes before the "
+                "layer loop), so it amortizes over layers and is "
+                "excluded from the per-layer kernel numbers above. r5 "
+                "protocol change: measures the model's actual path — ONE "
+                "[P, H*Dh] table through ops/localize.localize_bank "
+                "(scatter-free sorted backward, benchmarks/"
+                "localize_vjp.json); r2-r4 measured two plain-gather "
+                "banks with XLA scatter-add VJPs (~2x the bytes), so the "
+                "series is not comparable across that boundary"),
             "fwd": {
                 "mfu": round(ff / t_local / PEAK_BF16_FLOPS, 4),
                 "hbm_frac": round(fb / t_local / PEAK_HBM_BPS, 4),

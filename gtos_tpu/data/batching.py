@@ -144,6 +144,14 @@ class GraphBatch:
     # whole batch-global bank (VERDICT r2 "attack speed-of-light" #1)
     bank_map: Optional[np.ndarray] = None       # [B, P_loc] int32 -> bank row
     rel_index_loc: Optional[np.ndarray] = None  # [B, N, N] int32 local slots
+    # scatter-free localize-backward auxiliaries (train only): argsort of
+    # the flat bank_map ids + per-bank-row [start, end) runs in the sorted
+    # order; the once-per-step scatter-add of the localize gather's VJP
+    # becomes a permute + blocked prefix sum + two boundary gathers
+    # (ops/localize.py — host-computed: a device argsort measured 6x the
+    # scatter it replaces, benchmarks/localize_vjp.json)
+    loc_perm: Optional[np.ndarray] = None       # [B*P_loc] int32
+    loc_bnd: Optional[np.ndarray] = None        # [2, P] int32
     # sorted-scatter auxiliaries for the localized BACKWARD kernel (train
     # only): per (graph, dst-row), the j-columns argsorted by local slot and
     # the inclusive boundary counts bnd[i, p] = #{j: slot[i, j] <= p}; the
@@ -453,6 +461,14 @@ def batchify(
         # bucket, VERDICT r4 weak #3)
         local_arrays = _build_local_banks(rel_index, spec, False,
                                           own=(own_lo, own_hi))
+        if for_train:
+            # host-side aux for the scatter-free localize backward
+            # (ops/localize.py); inference batches skip them and the
+            # model falls back to the plain gather (fwd-only anyway)
+            from gtos_tpu.ops.localize import build_localize_aux
+            local_arrays["loc_perm"], local_arrays["loc_bnd"] = \
+                build_localize_aux(local_arrays["bank_map"],
+                                   rel_bank.shape[0])
 
     edge_arrays = {}
     if build_edges or build_block_tiles:

@@ -237,7 +237,7 @@ def batch_edges(batch: Dict[str, jnp.ndarray]):
             "tile_rel", "tile_dst", "tile_rel_src", "ctile_src",
             "ctile_rel", "ctile_dst", "ctile_rel_src",
             # localized-bank auxiliaries (impl='pallas_local')
-            "bank_map", "rel_index_loc", "rel_sort",
+            "bank_map", "rel_index_loc", "loc_perm", "loc_bnd", "rel_sort",
             "rel_bnd", "rel_sortT", "rel_bndT")
     out = {k: batch[k] for k in keys if k in batch}
     return out or None

@@ -234,7 +234,12 @@ class GraphTransformer(nn.Module):
             # ~0.85 ms per scatter at production shapes on v5e)
             assert edges is not None and "bank_map" in edges, (
                 "impl=pallas_local needs batchify build_local_banks=True")
-            rel_vecs = rel_vecs[edges["bank_map"]]
+            from gtos_tpu.ops.localize import localize_bank
+            # scatter-free backward when batchify shipped the sort-order
+            # auxiliaries (train batches); plain gather otherwise
+            rel_vecs = localize_bank(rel_vecs, edges["bank_map"],
+                                     edges.get("loc_perm"),
+                                     edges.get("loc_bnd"))
             if "rel_sort" not in edges:
                 # sorted-scatter auxiliaries for the localized backward,
                 # computed ON DEVICE once per step (shared by all layers;

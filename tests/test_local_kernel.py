@@ -223,3 +223,64 @@ def test_device_sort_bnd_matches_host():
         jnp.swapaxes(jnp.asarray(host["rel_index_loc"]), 1, 2), P)
     np.testing.assert_array_equal(np.asarray(srtT), host["rel_sortT"])
     np.testing.assert_array_equal(np.asarray(bndT), host["rel_bndT"])
+
+
+def test_localize_bank_scatter_free_grads_match_gather():
+    """ops/localize.py: the scatter-free backward (permute + blocked
+    prefix sum + boundary gathers) matches the plain gather's XLA
+    scatter-add VJP, including colliding rows across graphs and pad
+    slots mapping to row 0."""
+    from gtos_tpu.ops.localize import build_localize_aux, localize_bank
+
+    rng = np.random.default_rng(0)
+    B, P_loc, P, D = 5, 96, 300, 24  # B*P_loc not a multiple of 128
+    bank_map = np.zeros((B, P_loc), np.int32)
+    for b in range(B):
+        n = rng.integers(10, P_loc)
+        rows = np.unique(rng.integers(0, P, size=n))
+        bank_map[b, 1:1 + len(rows)] = rows  # slot 0 stays the pad row 0
+    perm, bnd = build_localize_aux(bank_map, P)
+
+    rel_vecs = jnp.asarray(rng.standard_normal((P, D)), jnp.float32)
+    bm = jnp.asarray(bank_map)
+    g_out = jnp.asarray(rng.standard_normal((B, P_loc, D)), jnp.float32)
+
+    def loss(fn):
+        return lambda rv: (fn(rv) * g_out).sum()
+
+    ref = jax.grad(loss(lambda rv: rv[bm]))(rel_vecs)
+    new = jax.grad(loss(lambda rv: localize_bank(
+        rv, bm, jnp.asarray(perm), jnp.asarray(bnd))))(rel_vecs)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # forwards identical
+    np.testing.assert_array_equal(
+        np.asarray(localize_bank(rel_vecs, bm, jnp.asarray(perm),
+                                 jnp.asarray(bnd))),
+        np.asarray(rel_vecs[bm]))
+
+
+def test_batchify_ships_localize_aux_for_train_only():
+    """Train batches carry loc_perm/loc_bnd sized to the flat bank_map /
+    bank; inference batches do not (fwd-only path needs no backward)."""
+    from gtos_tpu.data import batchify
+    from gtos_tpu.data.dataloader import preprocess
+    from gtos_tpu.data.extract import build_vocabs
+    from gtos_tpu.data.synthetic import synthetic_amr_corpus
+
+    graphs, targets = synthetic_amr_corpus(6, seed=3, min_nodes=3,
+                                           max_nodes=8)
+    tv, cv, rv, chv, lm = build_vocabs(graphs, targets)
+    instances = preprocess(graphs, targets)
+    tb = batchify(instances, tv, cv, rv, chv, lm, batch_size_bucket=6,
+                  build_local_banks=True)
+    assert tb.loc_perm.shape == (tb.bank_map.size,)
+    assert tb.loc_bnd.shape == (2, tb.rel_bank.shape[0])
+    # boundaries partition the sorted ids: widths sum to the update count
+    widths = tb.loc_bnd[1] - tb.loc_bnd[0]
+    assert widths.sum() == tb.bank_map.size
+    srt = tb.bank_map.reshape(-1)[tb.loc_perm]
+    assert (np.diff(srt) >= 0).all()
+    ib = batchify(instances, tv, cv, rv, chv, lm, batch_size_bucket=6,
+                  build_local_banks=True, for_train=False)
+    assert ib.loc_perm is None and ib.loc_bnd is None
