@@ -58,6 +58,7 @@ def beam_search(
     end_id: int,
     unk_id: int,
     alpha: float = 0.6,
+    reorder_fn: Callable[[Any, jnp.ndarray], Any] | None = None,
 ) -> BeamResult:
     """Run batched beam search.
 
@@ -65,6 +66,19 @@ def beam_search(
         (log_probs [B*K, ext_vocab] f32, new_caches)
     init_caches: cache pytree with leading dim B*K (memory already tiled
     per beam by the caller).
+    reorder_fn(caches, flat_parent [B*K] int32) -> caches: permutes the
+    per-beam state when beams are re-ranked. Defaults to gathering every
+    leaf; callers whose caches contain beam-INVARIANT leaves (e.g. the
+    decoder's precomputed memory KV, identical across a graph's beams)
+    should pass a version that skips them — reordering them is pure HBM
+    traffic (benchmarks/decode_ablate.json).
+
+    The reorder is applied at the START of the next step rather than the
+    end of the current one (the parents ride the carry): the gather then
+    feeds straight into the step's dynamic_update_slice chain, which XLA
+    can keep in place — measured 3.10 -> 0.60 ms/step at B=16, K=8,
+    config-2 scale on v5e (decode_ablate.json full vs full_pre_h64,
+    together with horizon-sized caches).
     """
     B, K, V = batch_size, beam_size, ext_vocab
     Tmax = max_steps
@@ -78,6 +92,10 @@ def beam_search(
     fin_scores = jnp.full((B, K), NEG_INF, dtype=jnp.float32)
     fin_len = jnp.zeros((B, K), dtype=jnp.int32)
 
+    if reorder_fn is None:
+        reorder_fn = lambda caches, fp: jax.tree_util.tree_map(  # noqa: E731
+            lambda c: c[fp], caches)
+
     def cond(state):
         t, alive_logp, fin_scores, *_ = state
         # best possible score any alive beam could still reach (no further
@@ -89,7 +107,15 @@ def beam_search(
         return jnp.logical_and(t < Tmax, improving)
 
     def body(state):
-        (t, alive_logp, fin_scores, alive_seq, fin_seq, fin_len, caches) = state
+        (t, alive_logp, fin_scores, alive_seq, fin_seq, fin_len, caches,
+         parent_prev) = state
+
+        if K > 1:
+            # apply the PREVIOUS step's beam re-ranking to the caches now
+            # (see docstring); t=0 carries the identity permutation
+            flat_prev = (jnp.arange(B)[:, None] * K + parent_prev
+                         ).reshape(-1)
+            caches = reorder_fn(caches, flat_prev)
 
         tok_t = alive_seq[:, :, t].reshape(B * K)
         tok_t = jnp.where(tok_t >= token_vocab, unk_id, tok_t)
@@ -125,18 +151,17 @@ def beam_search(
         av, ai = jax.lax.top_k(alive_cand, K)            # over 2K
         alive_logp = av
         alive_seq = jnp.take_along_axis(seqs, ai[:, :, None], axis=1)
+        # new beam k of batch b continues parent beam; applied to the
+        # caches at the start of the NEXT iteration
         chosen_parent = jnp.take_along_axis(parent, ai, axis=1)  # [B,K]
 
-        # reorder caches: new beam k of batch b continues parent beam
-        flat_parent = (jnp.arange(B)[:, None] * K + chosen_parent).reshape(-1)
-        caches = jax.tree_util.tree_map(lambda c: c[flat_parent], caches)
-
         return (t + 1, alive_logp, fin_scores, alive_seq, fin_seq, fin_len,
-                caches)
+                caches, chosen_parent)
 
+    identity_parent = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None], (B, 1))
     state = (jnp.int32(0), alive_logp, fin_scores, alive_seq, fin_seq,
-             fin_len, init_caches)
-    (t, alive_logp, fin_scores, alive_seq, fin_seq, fin_len, _) = (
+             fin_len, init_caches, identity_parent)
+    (t, alive_logp, fin_scores, alive_seq, fin_seq, fin_len, _, _) = (
         jax.lax.while_loop(cond, body, state))
 
     # fall back to alive beams where nothing finished

@@ -53,18 +53,29 @@ def beam_decode_arrays(
     cp_seq = rep(arrays["cp_seq"])
     copy_mask = rep(arrays["copy_mask"])
 
-    caches = model.apply(params, mem_t, method=Generator.init_cache)
+    steps = min(max_steps, cfg.max_target_len - 1)
+    # self-KV buffers sized to the search horizon, not max_target_len:
+    # every decode step streams (and under beam search reorders) the whole
+    # buffer (decoder.init_cache note; benchmarks/decode_ablate.json)
+    caches = model.apply(params, mem_t, steps, method=Generator.init_cache)
 
     def step_fn(tokens, pos, caches):
         return model.apply(
             params, tokens, pos, caches, concept_mask, cp_seq, copy_mask,
             method=Generator.decode_step)
 
+    def reorder_fn(caches, flat_parent):
+        # mem_k/mem_v are tiled per beam and never written: identical
+        # across a graph's beams, so the parent gather would be a no-op
+        # realized as full-buffer HBM traffic — reorder self-KV only
+        return [
+            {k: (v[flat_parent] if k in ("self_k", "self_v") else v)
+             for k, v in c.items()} for c in caches]
+
     return beam_search(
-        step_fn, caches, B, K,
-        min(max_steps, cfg.max_target_len - 1), cfg.ext_vocab,
+        step_fn, caches, B, K, steps, cfg.ext_vocab,
         cfg.token_vocab, str_id=str_id, end_id=end_id, unk_id=unk_id,
-        alpha=alpha)
+        alpha=alpha, reorder_fn=reorder_fn)
 
 
 def decode_batch(

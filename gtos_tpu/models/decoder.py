@@ -59,7 +59,14 @@ class DecoderLayer(nn.Module):
         return x, cross_probs
 
     def init_cache(self, B: int, Tmax: int, mem):
-        """Cache pytree: self-attn KV ring buffers + precomputed memory KV."""
+        """Cache pytree: self-attn KV buffers + precomputed memory KV.
+
+        Tmax should be the SEARCH horizon, not the model's max length:
+        every decode step streams the whole self-KV buffer through the
+        attention and (under beam search) through the parent reorder, so
+        oversizing it is pure HBM waste — sizing 128 -> 64 alone measured
+        0.27 -> 0.09 ms/step at B*K=128 on v5e
+        (benchmarks/decode_ablate.json)."""
         H, Dh = self.heads, self.d_model // self.heads
         mem_k, mem_v = self.cross_attn.project_kv(mem, mem)
         zeros = jnp.zeros((B, H, Tmax, Dh), dtype=self.dtype)
@@ -123,8 +130,13 @@ class Decoder(nn.Module):
             align = cross  # alignment layer = last layer's cross-attention
         return x, align
 
-    def init_cache(self, B, mem):
-        return [blk.init_cache(B, self.max_len, mem) for blk in self.blocks]
+    def init_cache(self, B, mem, horizon=None):
+        """horizon: self-KV buffer length (number of decode steps); defaults
+        to max_len for back-compat, but callers that know their search
+        horizon should pass it (see DecoderLayer.init_cache)."""
+        Tmax = self.max_len if horizon is None else min(horizon,
+                                                        self.max_len)
+        return [blk.init_cache(B, Tmax, mem) for blk in self.blocks]
 
     def step(self, token_t, pos, caches, mem_mask):
         """token_t: [B] int32; pos: scalar int32.

@@ -214,8 +214,10 @@ class Generator(nn.Module):
 
     # ---------------- incremental decoding ----------------
 
-    def init_cache(self, mem):
-        return self.decoder.init_cache(mem.shape[0], mem)
+    def init_cache(self, mem, horizon=None):
+        """horizon: decode-step budget; sizes the self-KV buffers (HBM
+        traffic per step scales with them — decoder.init_cache note)."""
+        return self.decoder.init_cache(mem.shape[0], mem, horizon=horizon)
 
     def decode_step(self, token_t, pos, caches, concept_mask, cp_seq,
                     copy_mask):
