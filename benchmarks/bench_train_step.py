@@ -59,6 +59,8 @@ def build(attention_impl: str, small: bool = False):
                     batch_size_tokens=4096, for_train=True, seed=0,
                     spec=spec,
                     build_edges=(attention_impl == "sparse"),
+                    build_block_tiles=attention_impl.startswith(
+                        "block_sparse"),
                     build_local_banks=attention_impl.startswith(
                         ("pallas_local", "auto")))
     batch = max(iter(dl), key=lambda b: b.batch_size)
@@ -143,7 +145,12 @@ def main():
     buckets = {}
     for name in ("N32_dominant", "N128_pathcap3"):
         results = {}
-        for impl in ("xla", "pallas", "pallas_local", "auto"):
+        # block_sparse only at the tile-aligned bucket (TILE=128): it is
+        # the large-graph tier of the 'auto' dispatch (AUTO_SPARSE_NODES)
+        impls = ("xla", "pallas", "pallas_local", "auto")
+        if name == "N128_pathcap3":
+            impls += ("block_sparse",)
+        for impl in impls:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one",
                  name, impl],

@@ -20,7 +20,7 @@ gathered into the O(N^2) pair tensor on device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -200,14 +200,21 @@ def batchify(
     build_edges: bool = False,
     cp_shards: int = 1,
     sparse_khop: int = 0,
-    build_block_tiles: bool = False,
-    build_local_banks: bool = False,
+    build_block_tiles: Union[bool, str] = False,
+    build_local_banks: Union[bool, str] = False,
     host_shard: Optional[Tuple[int, int]] = None,
 ) -> GraphBatch:
     """Assemble one static-shape GraphBatch from preprocessed instances.
 
     build_edges: additionally emit the [B, S, S, Ec] edge-cell tensors the
     sparse / context-parallel encoder consumes (S = cp_shards node blocks).
+    build_block_tiles / build_local_banks also accept "auto"
+    (attention_impl='auto' training): localized banks are built at every
+    bucket — measured fastest wherever the per-graph bank ladder fits
+    (benchmarks/train_step.json: 16.7 vs 44.6 ms/step even at N=128) —
+    and a batch whose path diversity overflows the ladder falls back to
+    the block-sparse tile layouts (TILE-aligned buckets only), which
+    resolve_attention_impl then routes to the tile kernel.
     sparse_khop: 0 keeps every real ordered pair (exact parity with the
     dense path); k > 0 keeps pairs whose shortest path has <= k labels
     (self and global-node pairs always kept, unreachable pairs dropped) —
@@ -238,6 +245,20 @@ def batchify(
         return own_lo <= b < own_hi
 
     N = BucketSpec.fit(spec.nodes, max(len(i.concepts) + 1 for i in instances))
+    aux_auto = "auto" in (build_block_tiles, build_local_banks)
+    if aux_auto:
+        # per-bucket aux selection for attention_impl='auto' (see
+        # docstring): localized banks FIRST at every bucket — the dense
+        # localized kernel beat the all-pairs tile kernel at every
+        # measured bucket (N=128: 16.7 vs 44.6 ms/step,
+        # benchmarks/train_step.json — without khop pruning the tiles
+        # carry all N^2 pairs, so O(E) buys nothing) — with a tile-layout
+        # fallback below when a batch's path diversity overflows the
+        # per-graph bank ladder
+        if build_block_tiles == "auto":
+            build_block_tiles = False
+        if build_local_banks == "auto":
+            build_local_banks = True
     T = BucketSpec.fit(spec.target, max(len(i.target) + 1 for i in instances))
     C = BucketSpec.fit(spec.chars, max(
         (len(c) for i in instances for c in i.concepts), default=1))
@@ -459,8 +480,20 @@ def batchify(
         # bit-exact) — the four [B, N, P_loc]-sized host arrays were the
         # single largest batchify cost (~47 ms/batch at the dominant
         # bucket, VERDICT r4 weak #3)
-        local_arrays = _build_local_banks(rel_index, spec, False,
-                                          own=(own_lo, own_hi))
+        try:
+            local_arrays = _build_local_banks(rel_index, spec, False,
+                                              own=(own_lo, own_hi))
+        except BatchCapacityError:
+            from gtos_tpu.ops.block_sparse import TILE
+            if not (aux_auto and N % TILE == 0):
+                raise
+            # 'auto' aux selection: a path-diverse batch overflowed the
+            # per-graph bank ladder below the node threshold — fall back
+            # to the tile layouts (resolve_attention_impl then routes
+            # this batch to the block-sparse kernel) instead of failing
+            build_local_banks = False
+            build_block_tiles = True
+    if build_local_banks:
         if for_train:
             # host-side aux for the scatter-free localize backward
             # (ops/localize.py); inference batches skip them and the

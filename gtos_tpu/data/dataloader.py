@@ -10,7 +10,7 @@ keeping the set of compiled XLA programs small.
 from __future__ import annotations
 
 import random
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional, Sequence, Union
 
 from gtos_tpu.data.batching import (
     BatchCapacityError, BucketSpec, GraphBatch, Instance, batchify,
@@ -106,8 +106,8 @@ class DataLoader:
         build_edges: bool = False,
         cp_shards: int = 1,
         sparse_khop: int = 0,
-        build_block_tiles: bool = False,
-        build_local_banks: bool = False,
+        build_block_tiles: Union[bool, str] = False,
+        build_local_banks: Union[bool, str] = False,
         host_rank: int = 0,
         host_count: int = 1,
         workers: int = 0,

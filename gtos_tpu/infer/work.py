@@ -61,10 +61,16 @@ def main(argv=None):
                     build_edges=(model_cfg.attention_impl == "sparse"
                                  or model_cfg.attention_impl.startswith(
                                      "block_sparse")),
-                    build_block_tiles=model_cfg.attention_impl.startswith(
-                        "block_sparse"),
-                    build_local_banks=model_cfg.attention_impl.startswith(
-                        ("pallas_local", "auto")),
+                    build_block_tiles=(
+                        "auto" if model_cfg.attention_impl.startswith(
+                            "auto")
+                        else model_cfg.attention_impl.startswith(
+                            "block_sparse")),
+                    build_local_banks=(
+                        "auto" if model_cfg.attention_impl.startswith(
+                            "auto")
+                        else model_cfg.attention_impl.startswith(
+                            "pallas_local")),
                     sparse_khop=model_cfg.sparse_khop)
 
     # Restore PARAMS ONLY (VERDICT r2 weak #8): the abstract template comes

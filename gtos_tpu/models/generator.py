@@ -47,13 +47,25 @@ def resolve_attention_impl(impl: str, arrays) -> str:
     (VERDICT r3 next #6 — the best impl is bucket-dependent; a pinned
     choice eats up to 6x regret on the wrong bucket).
 
-    Picks 'pallas_local' when the batch carries localized banks and the
-    per-graph bank is at least AUTO_LOCAL_RATIO x smaller than the global
-    bank, else the global-bank 'pallas' kernel. Non-auto impls pass
-    through unchanged."""
+    Dispatch order (measured, benchmarks/train_step.json):
+      1. 'block_sparse' when the batch carries tile layouts. Under the
+         'auto' aux mode batchify emits these only as the OVERFLOW
+         fallback — a batch whose path diversity exceeds the per-graph
+         bank ladder — because the dense localized kernel beat the
+         all-pairs tile kernel at every bucket where its banks fit
+         (N=128: 16.7 vs 44.6 ms/step; unpruned tiles carry all N^2
+         pairs, so O(E) buys nothing without khop — and khop demands an
+         explicit sparse impl, train.py's guard);
+      2. 'pallas_local' when the batch carries localized banks and the
+         per-graph bank is at least AUTO_LOCAL_RATIO x smaller than the
+         global bank (fewer per-pair gather chunks);
+      3. the global-bank 'pallas' kernel otherwise.
+    Non-auto impls pass through unchanged."""
     if not impl.startswith("auto"):
         return impl
     suffix = "_interpret" if impl.endswith("_interpret") else ""
+    if "tile_src" in arrays:
+        return "block_sparse" + suffix
     if "bank_map" in arrays:
         P = arrays["rel_bank"].shape[0]
         P_loc = arrays["bank_map"].shape[1]

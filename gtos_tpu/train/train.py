@@ -384,10 +384,15 @@ def main(argv=None):
                  host_rank=_jax.process_index(), host_count=n_hosts,
                  build_edges=sparse,
                  cp_shards=args.graph, sparse_khop=args.sparse_khop,
-                 build_block_tiles=args.attention_impl.startswith(
-                     "block_sparse"),
-                 build_local_banks=args.attention_impl.startswith(
-                     ("pallas_local", "auto")),
+                 # 'auto': batchify picks per bucket — tile layouts for
+                 # TILE-aligned >= AUTO_SPARSE_NODES buckets, localized
+                 # banks below (resolve_attention_impl mirrors the choice)
+                 build_block_tiles=(
+                     "auto" if args.attention_impl.startswith("auto")
+                     else args.attention_impl.startswith("block_sparse")),
+                 build_local_banks=(
+                     "auto" if args.attention_impl.startswith("auto")
+                     else args.attention_impl.startswith("pallas_local")),
                  workers=args.batchify_workers,
                  worker_mode=args.batchify_worker_mode)
     instances = preprocess(graphs, targets, path_cfg)
