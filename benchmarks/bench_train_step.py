@@ -145,8 +145,10 @@ def main():
     buckets = {}
     for name in ("N32_dominant", "N128_pathcap3"):
         results = {}
-        # block_sparse only at the tile-aligned bucket (TILE=128): it is
-        # the large-graph tier of the 'auto' dispatch (AUTO_SPARSE_NODES)
+        # block_sparse only at the tile-aligned bucket (TILE=128): the
+        # all-pairs tile row documents WHY the 'auto' dispatch prefers
+        # the localized kernel wherever its banks fit (it measured 2.7x
+        # slower here) and serves as the overflow-fallback tier's number
         impls = ("xla", "pallas", "pallas_local", "auto")
         if name == "N128_pathcap3":
             impls += ("block_sparse",)

@@ -384,9 +384,10 @@ def main(argv=None):
                  host_rank=_jax.process_index(), host_count=n_hosts,
                  build_edges=sparse,
                  cp_shards=args.graph, sparse_khop=args.sparse_khop,
-                 # 'auto': batchify picks per bucket — tile layouts for
-                 # TILE-aligned >= AUTO_SPARSE_NODES buckets, localized
-                 # banks below (resolve_attention_impl mirrors the choice)
+                 # 'auto': batchify picks per bucket — localized banks
+                 # wherever the per-graph ladder fits, tile layouts as
+                 # the overflow fallback (resolve_attention_impl routes
+                 # tile batches to the block-sparse kernel)
                  build_block_tiles=(
                      "auto" if args.attention_impl.startswith("auto")
                      else args.attention_impl.startswith("block_sparse")),
