@@ -96,6 +96,20 @@ def main():
         def body(i, st):
             caches, alive_logp, alive_seq, fin_scores, fin_seq, fin_len = st
             t = (i % HORIZON).astype(jnp.int32)
+            if mode == "full_pre_bk":
+                # pre-reorder via take_along_axis over a [B, K, ...] view
+                # (different XLA lowering than the flat axis-0 gather)
+                chosen = jnp.clip(alive_seq[:, :, 0], 0, K - 1)
+
+                def tak(v):
+                    sh = v.shape
+                    v5 = v.reshape(B, K, -1)
+                    idx = chosen[:, :, None]
+                    return jnp.take_along_axis(v5, idx, axis=1).reshape(sh)
+
+                caches = [
+                    {k: (tak(v) if k in ("self_k", "self_v") else v)
+                     for k, v in c.items()} for c in caches]
             if mode == "full_pre":
                 # reorder at body START with the parents chosen at the end
                 # of the previous iteration (carried in alive_seq[:, :, 0]
@@ -163,6 +177,9 @@ def main():
                     caches = [
                         {k: (mm(v) if k in ("self_k", "self_v") else v)
                          for k, v in c.items()} for c in caches]
+                elif mode == "full_pre_bk":
+                    chosen = jnp.take_along_axis(par, ai, axis=1)
+                    alive_seq = alive_seq.at[:, :, 0].set(chosen)
                 elif mode == "full_pre":
                     # stash the chosen parents for next iteration's
                     # pre-reorder; no cache touch here
@@ -209,6 +226,7 @@ def main():
                          ("full_selfonly_h64", caches_h64),
                          ("full_matmul_h64", caches_h64),
                          ("full_pre_h64", caches_h64),
+                         ("full_pre_bk_h64", caches_h64),
                          ("reorder_self_h64", caches_h64)]:
         m = mode[:-4] if mode.endswith("_h64") else mode
         out["ms_per_step"][mode] = round(marginal(caches, m) * 1e3, 3)
